@@ -58,6 +58,8 @@ for name in sorted(oracle):
         av, bv = a.to_numpy(), b.to_numpy()
         if av.dtype.kind == "f" and bv.dtype.kind == "f":
             neq = ~((av == bv) | (np.isnan(av) & np.isnan(bv)))
+        elif av.dtype.kind == "M" and bv.dtype.kind == "M":
+            neq = ~((av == bv) | (np.isnat(av) & np.isnat(bv)))
         elif av.dtype.kind == "O" or bv.dtype.kind == "O":
             neq = np.array([x != y for x, y in zip(a.tolist(), b.tolist())])
         else:

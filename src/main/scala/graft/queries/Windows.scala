@@ -1,0 +1,225 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Window-function suite (SURVEY.md §2-B B19–B24) plus the as-of join
+  * (B11), which Spark expresses as a window because it has no native
+  * ASOF join.
+  *
+  * Scale notes (100 TB design): every window here partitions on a
+  * high-cardinality key (brand/customer/user), so the single shuffle is
+  * an even hash exchange and per-partition state is bounded — no global
+  * sort. The two deliberately-unpartitioned windows (B22/B23) run on a
+  * pre-aggregated daily series whose cardinality is O(days), not
+  * O(events); the heavy reduction happens in a partial+final hash
+  * aggregate BEFORE the single-partition window sees any data.
+  *
+  * Determinism (SURVEY R1/R2/N4): rank/dense_rank/percent_rank/cume_dist
+  * are tie-stable by definition; row_number and ntile get a unique
+  * tie-break key in their ORDER BY. All windowed sums run over exact
+  * DECIMAL values (order-independent), cast to double only at the end.
+  */
+object Windows {
+
+  /** B19 win_rank — rank, dense_rank, row_number of parts by retail
+    * price within brand. rank/dense_rank order by price alone (their
+    * tie semantics are deterministic); row_number adds p_partkey.
+    */
+  def winRank(s: SparkSession, d: String): DataFrame = {
+    val byPrice   = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc)
+    val byPriceUk = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+    part(s, d)
+      .select(
+        col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        rank().over(byPrice).as("rnk"),
+        dense_rank().over(byPrice).as("drnk"),
+        row_number().over(byPriceUk).as("rn"))
+      .orderBy("p_brand", "rn")
+  }
+  val winRankSql: String =
+    """SELECT p_brand, p_partkey, p_retailprice,
+      |  rank()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rnk,
+      |  dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS drnk,
+      |  row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+      |FROM part
+      |ORDER BY p_brand, rn""".stripMargin
+
+  /** B20 win_topk_group — top-3 orders per customer by total price.
+    * row_number + filter ≤ 3: Spark turns this into a per-group
+    * partial top-k under AQE; state is 3 rows per key, never a global
+    * sort — the per-group top-k shape that survives 100 TB.
+    */
+  def winTopkGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+  val winTopkGroupSql: String =
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** B21 win_running_sum — cumulative spend per customer over order
+    * date. The running sum accumulates exact decimals (R2), so the
+    * result is independent of partial-aggregation order.
+    */
+  def winRunningSum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_total"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+  val winRunningSumSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+      |FROM orders
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  /** Daily event totals as exact decimals — shared pre-aggregation for
+    * B22/B23. The groupBy collapses O(events) rows to O(days) before
+    * any single-partition window runs.
+    */
+  private def dailyEvents(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(dec(col("value"))).as("dtot"), count(lit(1)).as("n_events"))
+
+  /** B22 win_sliding_avg — 7-row (≈7-day) moving average of daily event
+    * value totals. The frame sums decimals exactly, then one double
+    * division — identical in both engines regardless of how each
+    * implements sliding frames (running vs segment-tree).
+    */
+  def winSlidingAvg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("day").asc).rowsBetween(-6, Window.currentRow)
+    dailyEvents(s, d)
+      .select(
+        col("day"),
+        col("dtot").cast("double").as("day_total"),
+        (sum(col("dtot")).over(w).cast("double") / count(lit(1)).over(w)).as("avg7"))
+      .orderBy("day")
+  }
+  val winSlidingAvgSql: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', ts) AS day,
+      |         sum(CAST(value AS DECIMAL(14,2))) AS dtot
+      |  FROM events GROUP BY 1)
+      |SELECT day, CAST(dtot AS DOUBLE) AS day_total,
+      |  CAST(sum(dtot) OVER w AS DOUBLE) / count(*) OVER w AS avg7
+      |FROM daily
+      |WINDOW w AS (ORDER BY day ASC ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY day""".stripMargin
+
+  /** B23 win_lead_lag — day-over-day delta of daily totals via lag.
+    * The subtraction happens in exact decimal, cast to double last.
+    */
+  def winLeadLag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("day").asc)
+    dailyEvents(s, d)
+      .select(
+        col("day"),
+        col("dtot").cast("double").as("day_total"),
+        (col("dtot") - lag(col("dtot"), 1).over(w)).cast("double").as("delta"))
+      .orderBy("day")
+  }
+  val winLeadLagSql: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', ts) AS day,
+      |         sum(CAST(value AS DECIMAL(14,2))) AS dtot
+      |  FROM events GROUP BY 1)
+      |SELECT day, CAST(dtot AS DOUBLE) AS day_total,
+      |  CAST(dtot - lag(dtot, 1) OVER (ORDER BY day ASC) AS DOUBLE) AS delta
+      |FROM daily
+      |ORDER BY day""".stripMargin
+
+  /** B24 win_ntile_pct — quartile, percent_rank, cume_dist over customer
+    * account balance. ntile needs a total order (unique tie-break);
+    * percent_rank/cume_dist are tie-stable and computed as one IEEE
+    * double division, identical across engines.
+    */
+  def winNtilePct(s: SparkSession, d: String): DataFrame = {
+    val byBal   = Window.orderBy(col("c_acctbal").asc)
+    val byBalUk = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    customer(s, d)
+      .select(
+        col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(byBalUk).as("quartile"),
+        percent_rank().over(byBal).as("pct_rank"),
+        cume_dist().over(byBal).as("cdist"))
+      .orderBy("c_custkey")
+  }
+  val winNtilePctSql: String =
+    """SELECT c_custkey, c_acctbal,
+      |  ntile(4)       OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile,
+      |  percent_rank() OVER (ORDER BY c_acctbal ASC) AS pct_rank,
+      |  cume_dist()    OVER (ORDER BY c_acctbal ASC) AS cdist
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
+  /** B11 join_asof_prev — for each purchase event, the most recent
+    * strictly-prior event of the same user. Spark has no native ASOF
+    * join; the idiomatic plan is a single window shuffle on user_id
+    * (each user's history sorts locally) + lag — one exchange, no
+    * self-join, which is also the right 100 TB shape when the "left"
+    * and "right" sides are the same stream.
+    */
+  def joinAsofPrev(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events(s, d)
+      .select(
+        col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        lag(col("event_id"), 1).over(w).as("prev_event_id"),
+        lag(col("event_type"), 1).over(w).as("prev_event_type"),
+        lag(col("ts"), 1).over(w).as("prev_ts"))
+      .filter(col("event_type") === "purchase")
+      .orderBy("event_id")
+  }
+  val joinAsofPrevSql: String =
+    """SELECT * FROM (
+      |  SELECT event_id, user_id, event_type, ts,
+      |    lag(event_id, 1)   OVER w AS prev_event_id,
+      |    lag(event_type, 1) OVER w AS prev_event_type,
+      |    lag(ts, 1)         OVER w AS prev_ts
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+      |WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_rank" -> (winRank _),
+    "win_topk_group" -> (winTopkGroup _),
+    "win_running_sum" -> (winRunningSum _),
+    "win_sliding_avg" -> (winSlidingAvg _),
+    "win_lead_lag" -> (winLeadLag _),
+    "win_ntile_pct" -> (winNtilePct _),
+    "join_asof_prev" -> (joinAsofPrev _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "win_rank" -> winRankSql,
+    "win_topk_group" -> winTopkGroupSql,
+    "win_running_sum" -> winRunningSumSql,
+    "win_sliding_avg" -> winSlidingAvgSql,
+    "win_lead_lag" -> winLeadLagSql,
+    "win_ntile_pct" -> winNtilePctSql,
+    "join_asof_prev" -> joinAsofPrevSql,
+  )
+}
