@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** LLM-training-data pipeline operators (SURVEY.md §2-B B40–B45):
+  * dedup (exact + MinHash-LSH), similarity search, text analysis, and
+  * the multimodal join.
+  *
+  * Scale notes (100 TB design):
+  *  - exact dedup is a hash groupBy on md5(text) — one shuffle keyed by
+  *    content hash, the canonical web-scale dedup shape.
+  *  - MinHash near-dup avoids O(n²): signatures are computed per-doc in
+  *    a single scan, candidates come from an equi-join on LSH band
+  *    keys (shuffle on band key only), and the expensive exact-Jaccard
+  *    check runs only on candidate pairs.
+  *  - cosine top-k broadcasts the (small) probe set and streams the
+  *    corpus once; per-probe top-k is a window over k·|probes| rows,
+  *    never a global sort of all pairs.
+  */
+object LlmOps {
+
+  /** Dot product of two L2-normalized float vectors, computed as a
+    * strict left fold over per-element double products. Both the
+    * product and the fold order are IEEE-pinned, so DuckDB's
+    * list_reduce(list_transform(...)) mirror is bit-identical — no
+    * tolerance needed at compare time (then round(,6) for display).
+    */
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** DuckDB mirror of [[dotD]] — same products, same fold order. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(generate_series(1, 64),
+       |    i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)),
+       |    (x, y) -> x + y)""".stripMargin
+
+  /** B40 dedup_exact — group documents by content hash. All 500 fixture
+    * texts are unique, so the contract output is the per-hash group
+    * profile (hash, count, representative doc) rather than dup pairs;
+    * the scalatest suite plants real duplicates and asserts grouping.
+    */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc_id"))
+      .orderBy("text_hash")
+  val dedupExactSql: String =
+    """SELECT md5(text) AS text_hash, count(*) AS n_copies,
+      |  min(doc_id) AS keep_doc_id
+      |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin
+
+  /** B41 dedup_minhash_near — near-duplicate candidate pairs via
+    * MinHash + LSH banding, verified with exact shingle Jaccard.
+    * No DuckDB oracle (hash functions are engine-specific); the
+    * scalatest suite plants near-duplicates and asserts they surface.
+    *
+    * Pipeline (all narrow until the band-key join):
+    *  1. per-doc distinct 3-token shingles;
+    *  2. 16 minhashes: min over shingles of xxhash64(seed_j ++ shingle);
+    *  3. 4 LSH bands × 4 rows → band key = hash(band idx, 4 sig values);
+    *  4. equi-join on band key (a < b) → candidate pairs;
+    *  5. exact Jaccard on the two shingle sets, keep ≥ 0.5.
+    */
+  def dedupMinhashNear(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .withColumn("sh", array_distinct(expr(
+        """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+          |  i -> concat_ws(' ', slice(split(text, ' '), i, 3)))""".stripMargin)))
+    val sigs = docs.withColumn("sig", expr(
+      """transform(sequence(0, 15),
+        |  j -> array_min(transform(sh, t -> xxhash64(concat(cast(j AS STRING), '#', t)))))""".stripMargin))
+    val bands = sigs.select(
+      col("doc_id"), col("sh"),
+      explode(expr(
+        """transform(sequence(0, 3),
+          |  b -> concat_ws('|', cast(b AS STRING),
+          |    cast(sig[b*4] AS STRING), cast(sig[b*4+1] AS STRING),
+          |    cast(sig[b*4+2] AS STRING), cast(sig[b*4+3] AS STRING)))""".stripMargin)).as("band_key"))
+    val a = bands.select(col("band_key"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = bands.select(col("band_key"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+         size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** B42 sim_topk_cosine — top-5 cosine neighbors for the 10 probe
+    * vectors (vec_id < 10). Vectors are L2-normalized, so cosine = dot.
+    * The probe side is broadcast; the corpus streams once; top-k is a
+    * per-probe window. Exact cross-engine equality via [[dotD]].
+    */
+  def simTopkCosine(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id").asc)
+    emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(dotD(col("probe_emb"), col("embedding")), 6).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .orderBy("probe_id", "rn")
+  }
+  val simTopkCosineSql: String =
+    s"""SELECT probe_id, vec_id, sim, rn FROM (
+       |  SELECT p.vec_id AS probe_id, e.vec_id AS vec_id,
+       |    round(${dotSql("p", "e")}, 6) AS sim,
+       |    row_number() OVER (PARTITION BY p.vec_id
+       |      ORDER BY round(${dotSql("p", "e")}, 6) DESC, e.vec_id ASC) AS rn
+       |  FROM embeddings p JOIN embeddings e ON p.vec_id < 10 AND e.vec_id <> p.vec_id)
+       |WHERE rn <= 5
+       |ORDER BY probe_id, rn""".stripMargin
+
+  /** B43 text_token_stats — top-50 terms by frequency across the
+    * corpus. split→explode→groupBy: the explode is narrow; the only
+    * shuffle carries (term, partial count) after map-side combine.
+    */
+  def textTokenStats(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(50)
+  val textTokenStatsSql: String =
+    """SELECT term, count(*) AS cnt FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      |GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 50""".stripMargin
+
+  /** B44 text_lang_stats — per-language corpus profile: doc count,
+    * exact-integer char sums, distinct sources. avg is one double
+    * division of exact ints (identical both engines).
+    */
+  def textLangStats(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+  val textLangStatsSql: String =
+    """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+      |  count(DISTINCT source) AS n_sources
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** B45 multimodal_join — documents ⋈ embeddings on doc_id = vec_id:
+    * text, vector, and label in one frame, then per-label stats over
+    * the joined modalities. Equi-join on aligned ids — at scale both
+    * sides would be bucketed on the id so the join is co-located.
+    */
+  def multimodalJoin(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .join(embeddings(s, d), col("doc_id") === col("vec_id"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("doc_id")).as("min_doc_id"))
+      .orderBy("label")
+  val multimodalJoinSql: String =
+    """SELECT label, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  count(DISTINCT lang) AS n_langs, min(doc_id) AS min_doc_id
+      |FROM documents JOIN embeddings ON doc_id = vec_id
+      |GROUP BY label ORDER BY label""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash_near" -> (dedupMinhashNear _),
+    "sim_topk_cosine" -> (simTopkCosine _),
+    "text_token_stats" -> (textTokenStats _),
+    "text_lang_stats" -> (textLangStats _),
+    "multimodal_join" -> (multimodalJoin _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    // dedup_minhash_near: no oracle — engine-specific hashes; scalatest plants dups
+    "sim_topk_cosine" -> simTopkCosineSql,
+    "text_token_stats" -> textTokenStatsSql,
+    "text_lang_stats" -> textLangStatsSql,
+    "multimodal_join" -> multimodalJoinSql,
+  )
+}
