@@ -10,12 +10,14 @@ object SparkEntry {
     graft.queries.Relational.queries ++
     graft.queries.Windows.queries ++
     graft.queries.Scalars.queries ++
-    graft.queries.LlmOps.queries
+    graft.queries.LlmOps.queries ++
+    graft.queries.Streaming.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
     graft.queries.Windows.oracle ++
     graft.queries.Scalars.oracle ++
-    graft.queries.LlmOps.oracle
+    graft.queries.LlmOps.oracle ++
+    graft.queries.Streaming.oracle
 }

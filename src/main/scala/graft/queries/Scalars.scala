@@ -5,6 +5,13 @@ import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
+/** Buffer for the geomean Aggregator (B39): exact fixed-point log sum.
+  * Top-level (not nested/private) so Spark's janino-generated encoder
+  * code can reach the constructor — nested private case classes force a
+  * codegen fallback to the interpreted path.
+  */
+case class GeoBuf(sumNano: Long, n: Long)
+
 /** Scalar-function battery + extension surface (SURVEY.md §2-B B31–B39).
   *
   * All of B31–B37 are pure built-in expression work: row-level, fully
@@ -211,7 +218,6 @@ object Scalars {
     * round(ln(x)*1e9) summed as BIGINT. Final exp() and round(,6) run on
     * bit-identical inputs in both engines.
     */
-  private case class GeoBuf(sumNano: Long, n: Long)
   private object GeoMean extends Aggregator[Double, GeoBuf, Double] {
     def zero: GeoBuf = GeoBuf(0L, 0L)
     def reduce(b: GeoBuf, x: Double): GeoBuf =

@@ -1,0 +1,235 @@
+package graft.queries
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.attribute.FileTime
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Structured Streaming suite (SURVEY.md §2-B B46–B49): tumbling,
+  * sliding and session windows plus watermarked dedup, all driven
+  * through a file source with Trigger.AvailableNow into a memory sink,
+  * returned as a batch DataFrame so the common Verify/Bench contract
+  * applies.
+  *
+  * Watermark-flush technique: in append mode a stateful operator only
+  * emits a window after the watermark passes its end, and the watermark
+  * only advances between micro-batches — so the windows near the end of
+  * a finite replay would be withheld forever. Each replay dir therefore
+  * ends with two far-future sentinel files (user_id < 0, +2d/+3d past
+  * the real data) and maxFilesPerTrigger=1: the sentinel batches push
+  * the watermark beyond every real event and force a final state
+  * eviction. Sentinel rows/windows are filtered from the returned frame.
+  * At production scale the same plans run unmodified on a live source —
+  * the sentinels are purely a finite-replay harness device.
+  *
+  * State-size notes (100 TB design): every stateful operator here keys
+  * its state by (window × group) or event_id with a watermark bound, so
+  * state is O(active windows / inflight ids), not O(stream); the
+  * tumbling/sliding aggregations shuffle partial aggregates only.
+  */
+object Streaming {
+
+  private val ctr = new AtomicInteger(0)
+
+  /** Raw events schema as read with nanosAsLong (ts is INT64 nanos). */
+  private def rawSchema(s: SparkSession, d: String): StructType = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$d/events.parquet").schema
+  }
+
+  /** Max event ts in nanos — bound for sentinel placement + filters. */
+  private def maxTsNanos(s: SparkSession, d: String): Long = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$d/events.parquet").agg(max(col("ts"))).head().getLong(0)
+  }
+
+  /** Stage a streaming replay dir: `copies`× the real events file, plus
+    * (optionally) two far-future sentinel one-row files, with strictly
+    * increasing mtimes so the file source processes them in order.
+    */
+  private def stageDir(s: SparkSession, d: String, copies: Int, sentinels: Boolean): String = {
+    val dir = Files.createTempDirectory(s"graft_stream_${ctr.incrementAndGet()}_")
+    val src = Paths.get(s"$d/events.parquet")
+    val t0 = System.currentTimeMillis() - 120000
+    var seq = 0
+    def stamp(p: Path): Unit = { Files.setLastModifiedTime(p, FileTime.fromMillis(t0 + seq * 1000)); seq += 1 }
+    (0 until copies).foreach { i =>
+      val dst = dir.resolve(f"data-$i%03d.parquet")
+      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+      stamp(dst)
+    }
+    if (sentinels) {
+      val maxNs = maxTsNanos(s, d)
+      val sch = rawSchema(s, d)
+      Seq((-1L, maxNs + 2L * 86400 * 1000000000L), (-2L, maxNs + 3L * 86400 * 1000000000L))
+        .zipWithIndex.foreach { case ((uid, ns), i) =>
+          val row = Row(-1000L - i, ns, uid, "sentinel", 0.0, "{}")
+          val one = s.createDataFrame(java.util.List.of(row), sch).coalesce(1)
+          val tmp = Files.createTempDirectory("graft_sent_")
+          one.write.mode("overwrite").parquet(tmp.toString)
+          val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+          val dst = dir.resolve(f"sentinel-$i.parquet")
+          Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+          stamp(dst)
+        }
+    }
+    dir.toString
+  }
+
+  /** File-source stream of events with event-time `ets` (µs, matching
+    * Tables.events / DuckDB's ns→µs truncation).
+    */
+  private def eventStream(s: SparkSession, dir: String, sch: StructType): DataFrame =
+    s.readStream
+      .schema(sch)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+
+  /** Run a streaming frame to completion (AvailableNow) into a memory
+    * sink and return the sink contents as a batch DataFrame.
+    */
+  private def runToBatch(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_mem_${ctr.incrementAndGet()}"
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** B46 stream_tumbling_count — 1h tumbling windows over the event
+    * stream, watermark + append mode (the production shape: state is
+    * evicted as the watermark passes, emitted exactly once).
+    */
+  def streamTumblingCount(s: SparkSession, d: String): DataFrame = {
+    val sch = rawSchema(s, d)
+    val maxNs = maxTsNanos(s, d)
+    val dir = stageDir(s, d, copies = 1, sentinels = true)
+    val agg = eventStream(s, dir, sch)
+      .withWatermark("ets", "1 hour")
+      .groupBy(window(col("ets"), "1 hour"))
+      .agg(count(lit(1)).as("n"), Tables.dsum(col("value")).as("sum_value"))
+    runToBatch(s, agg, "append")
+      .filter(col("window.start") < timestamp_micros(lit(maxNs / 1000 + 86400L * 1000000)))
+      .select(
+        col("window.start").cast(TimestampNTZType).as("hour_start"),
+        col("n"), col("sum_value"))
+      .orderBy("hour_start")
+  }
+  val streamTumblingCountSql: String =
+    s"""SELECT date_trunc('hour', ts) AS hour_start, count(*) AS n,
+       |  ${Tables.dsumSql("value")} AS sum_value
+       |FROM events GROUP BY 1 ORDER BY hour_start""".stripMargin
+
+  /** B47 stream_sliding_sum — 1h windows sliding every 30min (each
+    * event lands in two windows), complete-mode variant for contrast
+    * with B46's append mode.
+    */
+  def streamSlidingSum(s: SparkSession, d: String): DataFrame = {
+    val sch = rawSchema(s, d)
+    val dir = stageDir(s, d, copies = 1, sentinels = false)
+    val agg = eventStream(s, dir, sch)
+      .groupBy(window(col("ets"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"), Tables.dsum(col("value")).as("sum_value"))
+    runToBatch(s, agg, "complete")
+      .select(
+        col("window.start").cast(TimestampNTZType).as("win_start"),
+        col("n"), col("sum_value"))
+      .orderBy("win_start")
+  }
+  val streamSlidingSumSql: String =
+    s"""SELECT wstart AS win_start, count(*) AS n, ${Tables.dsumSql("value")} AS sum_value
+       |FROM (
+       |  SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+       |                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS wstart,
+       |         value
+       |  FROM events)
+       |GROUP BY wstart ORDER BY win_start""".stripMargin
+
+  /** B48 stream_session_window — per-user sessions with a 10-minute
+    * gap. Session windows only support append/update in streaming, so
+    * this relies fully on the sentinel watermark flush. Oracle is the
+    * batch gaps-and-islands formulation (new session when the gap is
+    * >= 10min, session end = last event + gap).
+    */
+  def streamSessionWindow(s: SparkSession, d: String): DataFrame = {
+    val sch = rawSchema(s, d)
+    val dir = stageDir(s, d, copies = 1, sentinels = true)
+    val agg = eventStream(s, dir, sch)
+      .withWatermark("ets", "10 minutes")
+      .groupBy(session_window(col("ets"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), Tables.dsum(col("value")).as("sum_value"))
+    runToBatch(s, agg, "append")
+      .filter(col("user_id") >= 0)
+      .select(
+        col("user_id"),
+        col("session_window.start").cast(TimestampNTZType).as("sess_start"),
+        col("session_window.end").cast(TimestampNTZType).as("sess_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "sess_start")
+  }
+  val streamSessionWindowSql: String =
+    s"""WITH x AS (
+       |  SELECT user_id, ts, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       |), y AS (
+       |  SELECT user_id, ts, value,
+       |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+       |  FROM x)
+       |SELECT user_id, min(ts) AS sess_start,
+       |  max(ts) + INTERVAL 10 MINUTE AS sess_end,
+       |  count(*) AS n_events, ${Tables.dsumSql("value")} AS sum_value
+       |FROM y GROUP BY user_id, sess
+       |ORDER BY user_id, sess_start""".stripMargin
+
+  /** B49 stream_dedup_watermark — the event stream replayed twice,
+    * deduplicated on event_id under a watermark (state holds only ids
+    * within the watermark horizon), then aggregated per type. The
+    * result must equal the single-copy batch aggregate — which is also
+    * its DuckDB oracle.
+    */
+  def streamDedupWatermark(s: SparkSession, d: String): DataFrame = {
+    val sch = rawSchema(s, d)
+    val dir = stageDir(s, d, copies = 2, sentinels = false)
+    val deduped = eventStream(s, dir, sch)
+      .withWatermark("ets", "1 hour")
+      .dropDuplicates("event_id")
+      .select(col("event_id"), col("event_type"), col("value"))
+    runToBatch(s, deduped, "append")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), Tables.dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+  val streamDedupWatermarkSql: String =
+    s"""SELECT event_type, count(*) AS n, ${Tables.dsumSql("value")} AS sum_value
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling_count" -> (streamTumblingCount _),
+    "stream_sliding_sum" -> (streamSlidingSum _),
+    "stream_session_window" -> (streamSessionWindow _),
+    "stream_dedup_watermark" -> (streamDedupWatermark _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "stream_tumbling_count" -> streamTumblingCountSql,
+    "stream_sliding_sum" -> streamSlidingSumSql,
+    "stream_session_window" -> streamSessionWindowSql,
+    "stream_dedup_watermark" -> streamDedupWatermarkSql,
+  )
+}
