@@ -11,7 +11,8 @@ object SparkEntry {
     graft.queries.Windows.queries ++
     graft.queries.Scalars.queries ++
     graft.queries.LlmOps.queries ++
-    graft.queries.Streaming.queries
+    graft.queries.Streaming.queries ++
+    graft.queries.RefDsl.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -19,5 +20,6 @@ object SparkEntry {
     graft.queries.Windows.oracle ++
     graft.queries.Scalars.oracle ++
     graft.queries.LlmOps.oracle ++
-    graft.queries.Streaming.oracle
+    graft.queries.Streaming.oracle ++
+    graft.queries.RefDsl.oracle
 }
