@@ -12,7 +12,10 @@ object SparkEntry {
     graft.queries.Scalars.queries ++
     graft.queries.LlmOps.queries ++
     graft.queries.Streaming.queries ++
-    graft.queries.RefDsl.queries
+    graft.queries.RefDsl.queries ++
+    graft.queries.TextOps.queries ++
+    graft.queries.DedupExtras.queries ++
+    graft.queries.Multimodal.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -21,5 +24,8 @@ object SparkEntry {
     graft.queries.Scalars.oracle ++
     graft.queries.LlmOps.oracle ++
     graft.queries.Streaming.oracle ++
-    graft.queries.RefDsl.oracle
+    graft.queries.RefDsl.oracle ++
+    graft.queries.TextOps.oracle ++
+    graft.queries.DedupExtras.oracle ++
+    graft.queries.Multimodal.oracle
 }

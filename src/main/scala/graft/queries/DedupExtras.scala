@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Additional dedup + similarity-search operators for the training-data
+  * pipeline (builder brief): exact n-gram Jaccard, SimHash, embedding
+  * cosine near-dup, and IVF-style approximate nearest neighbor — the
+  * scale path next to B42's brute force.
+  *
+  * Scale notes: the quadratic variants (ngram_jaccard, embed_cosine)
+  * are the exact formulations — correct at the fixed 500-doc corpus and
+  * as the verification stage on LSH candidates at 100 TB; the sublinear
+  * candidate generation is dedup_minhash_near (B41), dedup_simhash
+  * (band join on signature bands) and sim_topk_ivf (inverted cells).
+  */
+object DedupExtras {
+
+  /** Exact left-fold double dot product (same contract as LlmOps). */
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(generate_series(1, 64),
+       |    i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)),
+       |    (x, y) -> x + y)""".stripMargin
+
+  /** Distinct 3-token shingle array of a text column. */
+  private val shinglesExpr =
+    """array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+      |  i -> concat_ws(' ', slice(split(text, ' '), i, 3))))""".stripMargin
+
+  /** dedup_ngram_jaccard — exact pairwise 3-gram Jaccard ≥ 0.6 over all
+    * doc pairs. Intersection/union sizes are exact ints; the similarity
+    * is one IEEE division. This is the ground truth B41's MinHash
+    * approximates (28 pairs in the fixture corpus, matching B41's
+    * candidate set at its 0.5 cutoff).
+    */
+  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = documents(s, d).select(col("doc_id"), expr(shinglesExpr).as("g"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("g").as("g_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("g").as("g_b"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+         size(array_union(col("g_a"), col("g_b")))).as("jaccard"))
+      .filter(col("jaccard") >= 0.6)
+      .orderBy("doc_a", "doc_b")
+  }
+  val dedupNgramJaccardSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+      |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS g
+      |  FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.g, b.g))) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.g, b.g))) >= 0.6
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** dedup_simhash — 64-bit SimHash near-dup candidates. Per doc: each
+    * token votes ±1 on each bit of its xxhash64; the sign vector packs
+    * into one long. Candidates come from an equi-join on 16-bit
+    * signature bands (hamming ≤ 3 ⇒ at least one of 4 bands matches),
+    * then exact hamming ≤ 3 filters. No DuckDB oracle (engine-specific
+    * hash); scalatest plants shuffled near-copies.
+    */
+  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val sigs = documents(s, d)
+      .withColumn("toks", array_distinct(split(col("text"), " ")))
+      .withColumn("bits", expr(
+        """transform(sequence(0, 63), b ->
+          |  CASE WHEN aggregate(toks, 0L, (acc, t) ->
+          |    acc + CASE WHEN (xxhash64(t) >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+          |  THEN 1L ELSE 0L END)""".stripMargin))
+      // shiftleft, not acc*2: ANSI mode rejects the long overflow when
+      // the sign bit lands; shifting wraps into the bit pattern we want
+      .withColumn("sig", expr("aggregate(bits, 0L, (acc, x) -> shiftleft(acc, 1) | x)"))
+      .select(col("doc_id"), col("sig"))
+    val bands = sigs.select(
+      col("doc_id"), col("sig"),
+      posexplode(expr(
+        "transform(sequence(0, 3), j -> (sig >> (j * 16)) & 65535)")))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_val")
+    val a = bands.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = bands.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** dedup_embed_cosine — embedding near-duplicate pairs: exact cosine
+    * (= dot, L2-normalized) over all pairs, threshold 0.4 (corpus max
+    * is 0.479 — genuine near-dup pairs only). Bit-identical fold both
+    * engines, so the oracle needs no tolerance.
+    */
+  def dedupEmbedCosine(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(dotD(col("emb_a"), col("emb_b")), 6).as("sim"))
+      .filter(col("sim") >= 0.4)
+      .orderBy("vec_a", "vec_b")
+  }
+  val dedupEmbedCosineSql: String =
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  round(${dotSql("a", "b")}, 6) AS sim
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE round(${dotSql("a", "b")}, 6) >= 0.4
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** sim_topk_ivf — IVF-style approximate nearest neighbor: the scale
+    * path beside B42's brute force. Coarse quantizer = the first 16
+    * vectors as fixed centroids (deterministic stand-in for trained
+    * centroids); every vector is assigned to its nearest cell
+    * (inverted lists); each probe searches only its nprobe=4 nearest
+    * cells. At 100 TB the assignment is one broadcast-join scan and
+    * each query touches ~nprobe/ncells of the corpus. Deterministic
+    * but kept oracle-free; scalatest measures recall vs the exact B42
+    * top-k and checks candidates are ranked by exact similarity.
+    */
+  def simTopkIvf(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    def nearestCells(df: DataFrame, idCol: String, embCol: String, k: Int): DataFrame = {
+      val w = Window.partitionBy(idCol).orderBy(col("cdist").desc, col("cent_id").asc)
+      df.crossJoin(broadcast(cents))
+        .select(col(idCol), col(embCol), col("cent_id"),
+          dotD(col(embCol), col("cent_emb")).as("cdist"))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= k)
+    }
+    val assigned = nearestCells(e, "vec_id", "embedding", 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+    val probeCells = nearestCells(probes, "probe_id", "probe_emb", 4)
+      .select(col("probe_id"), col("probe_emb"), col("cent_id").as("cell"))
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id").asc)
+    probeCells.join(assigned, "cell")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(dotD(col("probe_emb"), col("embedding")), 6).as("sim"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .orderBy("probe_id", "rn")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_embed_cosine" -> (dedupEmbedCosine _),
+    "sim_topk_ivf" -> (simTopkIvf _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    // dedup_simhash, sim_topk_ivf: no oracle — engine-specific hashing /
+    // approximate structure; scalatest covers behavior + recall.
+    "dedup_embed_cosine" -> dedupEmbedCosineSql,
+  )
+}
