@@ -86,7 +86,10 @@ object QueryDsl {
   def parse(input: String): Query = {
     var toks = tokenize(input)
     def peek: Option[Tok] = toks.headOption
-    def next(): Tok = { val t = toks.head; toks = toks.tail; t }
+    def next(): Tok = {
+      if (toks.isEmpty) throw new IllegalArgumentException(s"unexpected end of input in: $input")
+      val t = toks.head; toks = toks.tail; t
+    }
     def expect(c: Char): Unit = next() match {
       case Sym(`c`) => ()
       case t => throw new IllegalArgumentException(s"expected '$c', got $t in: $input")

@@ -203,15 +203,21 @@ object Relational {
       |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
       |ORDER BY c_custkey""".stripMargin
 
-  /** B9 join_anti — customers with no orders at all (left anti). */
+  /** B9 join_anti — customers with no urgent orders (left anti; the
+    * urgent filter keeps the result non-trivial at every scale factor —
+    * every customer has at least one order in the testdata).
+    */
   def joinAnti(s: SparkSession, d: String): DataFrame =
     customer(s, d)
-      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(
+        orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
   val joinAntiSql: String =
     """SELECT c_custkey, c_name FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
       |ORDER BY c_custkey""".stripMargin
 
   /** B10 join_range_theta — events.value binned against an inline band

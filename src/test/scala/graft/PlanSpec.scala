@@ -1,0 +1,51 @@
+package graft
+
+import graft.queries.{LlmOps, Relational}
+
+/** Physical-plan assertions: the scale claims in the Scaladocs must be
+  * visible in explain output — broadcast joins stay broadcast, filters
+  * and projections reach the parquet scan, aggregates are two-phase.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("join_broadcast is a BroadcastHashJoin") {
+    assert(plan(Relational.joinBroadcast(spark, sf)).contains("BroadcastHashJoin"))
+  }
+
+  test("join_semi / join_anti plan as semi/anti joins, not materialized joins") {
+    assert(plan(Relational.joinSemi(spark, sf)).contains("LeftSemi"))
+    assert(plan(Relational.joinAnti(spark, sf)).contains("LeftAnti"))
+  }
+
+  test("scan_project_filter pushes filters and prunes columns at the scan") {
+    val p = plan(Relational.scanProjectFilter(spark, sf))
+    assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n$p")
+    assert(p.contains("l_shipdate"), "shipdate filter not pushed")
+    // pruned read schema: untouched columns are absent from the plan
+    assert(!p.contains("l_returnflag") && !p.contains("l_tax"),
+      "scan reads columns the query never touches")
+  }
+
+  test("agg_hash_groupby is a two-phase hash aggregate (map-side combine)") {
+    val df = Relational.aggHashGroupby(spark, sf)
+    val p = plan(df)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected partial+final HashAggregate:\n$p")
+    // codegen spans render as "*(n)" stage markers once AQE finalizes
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) HashAggregate""".r.findFirstIn(finalPlan).isDefined,
+      s"aggregation not inside a codegen stage:\n$finalPlan")
+  }
+
+  test("topk_global avoids a global sort (TakeOrderedAndProject)") {
+    assert(plan(Relational.topkGlobal(spark, sf)).contains("TakeOrderedAndProject"))
+  }
+
+  test("sim_topk_cosine broadcasts the probe side") {
+    assert(plan(LlmOps.simTopkCosine(spark, sf)).contains("BroadcastNestedLoopJoin") ||
+           plan(LlmOps.simTopkCosine(spark, sf)).contains("BroadcastExchange"))
+  }
+}

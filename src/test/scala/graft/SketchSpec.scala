@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.queries.{DedupExtras, LlmOps, Relational}
+
+/** Behavioral tests for the no-oracle operators: the HLL sketch is
+  * bounds-checked against the exact count; MinHash and SimHash must
+  * surface planted near-duplicates; IVF ANN must achieve useful recall
+  * against the exact brute-force top-k.
+  */
+class SketchSpec extends SparkSpec {
+
+  test("agg_approx_hll within 5% of exact distinct counts") {
+    val approx = Relational.aggApproxHll(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Relational.aggDistinctCount(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      assert(math.abs(ap - ex).toDouble / ex <= 0.05,
+        s"$k: approx $ap vs exact $ex off by >5%")
+    }
+  }
+
+  /** A tiny corpus with two planted near-dup pairs: (1,2) one token
+    * changed in a 40-token doc (shingle Jaccard ≈ 0.85 — MinHash
+    * territory), (3,4) tokens shuffled (identical token SET — SimHash
+    * territory, hamming 0). Docs 5+ are unrelated filler.
+    */
+  private lazy val plantedDir: String = {
+    val dir = Files.createTempDirectory("graft_planted_").toString
+    val base = ("the quick scan reads every column of the wide table before the merge join starts " +
+      "work and the planner chooses a broadcast side for the small build relation while the " +
+      "probe side streams rows through the exchange into the final aggregation stage")
+    val d1 = base
+    val d2 = base.replace("wide", "narrow")
+    val d3 = "sort order spills to disk when the hash build side exceeds memory budget limits today"
+    val d4 = d3.split(' ').reverse.mkString(" ")
+    val filler = (5 until 20).map(i =>
+      (i.toLong, s"filler$i alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i iota$i kappa$i"))
+    val rows = (Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4)) ++ filler).map { case (id, t) =>
+      Row(id, t, "en", "src0", t.length.toLong)
+    }
+    val sch = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, sch)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("dedup_minhash_near surfaces the planted one-token-edit pair") {
+    val pairs = LlmOps.dedupMinhashNear(spark, plantedDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"planted pair (1,2) missing from $pairs")
+  }
+
+  test("dedup_simhash surfaces the shuffled-token copy at hamming 0") {
+    // (1,2) is deliberately NOT asserted here: a one-token edit shifts
+    // ~P(|vote margin|<=2) of the 64 bits — token-set SimHash catches
+    // reorderings/repetitions; shingle MinHash catches small edits.
+    val rows = DedupExtras.dedupSimhash(spark, plantedDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(rows.get((3L, 4L)).contains(0), s"planted shuffled pair (3,4) not at hamming 0: $rows")
+  }
+
+  test("sim_topk_ivf: exact sims, sorted, and recall >= 0.3 vs brute force") {
+    val exact = LlmOps.simTopkCosine(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = DedupExtras.simTopkIvf(spark, sf).collect()
+    val ivfPairs = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // structural: <=5 per probe, rank-sorted descending by sim
+    ivf.groupBy(_.getLong(0)).foreach { case (p, rs) =>
+      assert(rs.length <= 5)
+      val sims = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, s"probe $p not sorted")
+    }
+    val recall = (ivfPairs & exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall $recall below 0.3")
+    info(f"IVF recall vs brute force: $recall%.2f")
+  }
+}
