@@ -18,11 +18,14 @@ import graft.Tables._
   */
 object DedupExtras {
 
-  /** Exact left-fold double dot product (same contract as LlmOps). */
-  private def dotD(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Exact left-fold double dot product via the codegen'd native
+    * expression (bit-identical to the DuckDB list_reduce mirror; see
+    * [[graft.functions.FloatVecDot]]).
+    */
+  private def dotD(s: SparkSession, a: String, b: String): Column = {
+    graft.functions.FloatVecDot.register(s)
+    expr(s"${graft.functions.FloatVecDot.name}($a, $b)")
+  }
   private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_transform(generate_series(1, 64),
        |    i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)),
@@ -33,20 +36,35 @@ object DedupExtras {
     """array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
       |  i -> concat_ws(' ', slice(split(text, ' '), i, 3))))""".stripMargin
 
-  /** dedup_ngram_jaccard — exact pairwise 3-gram Jaccard ≥ 0.6 over all
-    * doc pairs. Intersection/union sizes are exact ints; the similarity
-    * is one IEEE division. This is the ground truth B41's MinHash
-    * approximates (28 pairs in the fixture corpus, matching B41's
-    * candidate set at its 0.5 cutoff).
+  /** dedup_ngram_jaccard — exact pairwise 3-gram Jaccard ≥ 0.6. This is
+    * the ground truth B41's MinHash approximates (28 pairs in the
+    * fixture corpus, matching B41's candidate set at its 0.5 cutoff).
+    *
+    * Shape: NOT a nested-loop over pair arrays (the interpreted
+    * array_intersect condition cost 625 s at sf0.1 — measured) but the
+    * distributed set-similarity join: explode shingles, equi-join on
+    * the shingle to count each pair's intersection, derive the union
+    * from per-doc set sizes. Everything is a codegen'd hash join +
+    * aggregate; |A∩B| and |A∪B| are exact ints, jaccard one IEEE
+    * division. At 100 TB the one refinement needed is dropping
+    * ubiquitous shingles (document-frequency cap) before the self-join
+    * — the classic prefix-filter — which changes no ≥0.6 result.
     */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = documents(s, d).select(col("doc_id"), expr(shinglesExpr).as("g"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("g").as("g_a"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("g").as("g_b"))
-    a.join(b, col("doc_a") < col("doc_b"))
+    val sh = documents(s, d)
+      .select(col("doc_id"), explode(expr(shinglesExpr)).as("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
-         size(array_union(col("g_a"), col("g_b")))).as("jaccard"))
+        (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+          .as("jaccard"))
       .filter(col("jaccard") >= 0.6)
       .orderBy("doc_a", "doc_b")
   }
@@ -73,16 +91,14 @@ object DedupExtras {
     * hash); scalatest plants shuffled near-copies.
     */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    graft.functions.SimHash64.register(s)
     val sigs = documents(s, d)
       .withColumn("toks", array_distinct(split(col("text"), " ")))
-      .withColumn("bits", expr(
-        """transform(sequence(0, 63), b ->
-          |  CASE WHEN aggregate(toks, 0L, (acc, t) ->
-          |    acc + CASE WHEN (xxhash64(t) >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
-          |  THEN 1L ELSE 0L END)""".stripMargin))
-      // shiftleft, not acc*2: ANSI mode rejects the long overflow when
-      // the sign bit lands; shifting wraps into the bit pattern we want
-      .withColumn("sig", expr("aggregate(bits, 0L, (acc, x) -> shiftleft(acc, 1) | x)"))
+      // per-token hashes via one cheap HOF pass; the 64-bit vote loop
+      // runs in the codegen'd native expression (the interpreted
+      // nested-HOF formulation cost 14 s at sf0.1 — measured)
+      .withColumn("hs", expr("transform(toks, t -> xxhash64(t))"))
+      .withColumn("sig", expr(s"${graft.functions.SimHash64.name}(hs)"))
       .select(col("doc_id"), col("sig"))
     val bands = sigs.select(
       col("doc_id"), col("sig"),
@@ -114,7 +130,7 @@ object DedupExtras {
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
     a.join(b, col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(dotD(col("emb_a"), col("emb_b")), 6).as("sim"))
+        round(dotD(s, "emb_a", "emb_b"), 6).as("sim"))
       .filter(col("sim") >= 0.4)
       .orderBy("vec_a", "vec_b")
   }
@@ -143,7 +159,7 @@ object DedupExtras {
       val w = Window.partitionBy(idCol).orderBy(col("cdist").desc, col("cent_id").asc)
       df.crossJoin(broadcast(cents))
         .select(col(idCol), col(embCol), col("cent_id"),
-          dotD(col(embCol), col("cent_emb")).as("cdist"))
+          dotD(s, embCol, "cent_emb").as("cdist"))
         .withColumn("crn", row_number().over(w))
         .filter(col("crn") <= k)
     }
@@ -157,7 +173,7 @@ object DedupExtras {
     probeCells.join(assigned, "cell")
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        round(dotD(col("probe_emb"), col("embedding")), 6).as("sim"))
+        round(dotD(s, "probe_emb", "embedding"), 6).as("sim"))
       .distinct()
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)

@@ -21,16 +21,17 @@ import graft.Tables._
   */
 object LlmOps {
 
-  /** Dot product of two L2-normalized float vectors, computed as a
-    * strict left fold over per-element double products. Both the
-    * product and the fold order are IEEE-pinned, so DuckDB's
+  /** Dot product of two L2-normalized float vectors: a strict left
+    * fold over per-element double products, computed by the codegen'd
+    * native expression [[graft.functions.FloatVecDot]]. Product and
+    * fold order are IEEE-pinned, so DuckDB's
     * list_reduce(list_transform(...)) mirror is bit-identical — no
     * tolerance needed at compare time (then round(,6) for display).
     */
-  private def dotD(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  private def dotD(s: SparkSession, a: String, b: String): Column = {
+    graft.functions.FloatVecDot.register(s)
+    expr(s"${graft.functions.FloatVecDot.name}($a, $b)")
+  }
 
   /** DuckDB mirror of [[dotD]] — same products, same fold order. */
   private def dotSql(a: String, b: String): String =
@@ -107,7 +108,7 @@ object LlmOps {
     emb.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        round(dotD(col("probe_emb"), col("embedding")), 6).as("sim"))
+        round(dotD(s, "probe_emb", "embedding"), 6).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .orderBy("probe_id", "rn")
