@@ -15,7 +15,8 @@ object SparkEntry {
     graft.queries.RefDsl.queries ++
     graft.queries.TextOps.queries ++
     graft.queries.DedupExtras.queries ++
-    graft.queries.Multimodal.queries
+    graft.queries.Multimodal.queries ++
+    graft.queries.RefSurface.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -27,5 +28,6 @@ object SparkEntry {
     graft.queries.RefDsl.oracle ++
     graft.queries.TextOps.oracle ++
     graft.queries.DedupExtras.oracle ++
-    graft.queries.Multimodal.oracle
+    graft.queries.Multimodal.oracle ++
+    graft.queries.RefSurface.oracle
 }

@@ -67,14 +67,17 @@ object LlmOps {
     *  5. exact Jaccard on the two shingle sets, keep ≥ 0.5.
     */
   def dedupMinhashNear(s: SparkSession, d: String): DataFrame = {
+    graft.functions.MinHash16.register(s)
     val docs = documents(s, d)
       .select(col("doc_id"), col("text"))
       .withColumn("sh", array_distinct(expr(
         """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
           |  i -> concat_ws(' ', slice(split(text, ' '), i, 3)))""".stripMargin)))
-    val sigs = docs.withColumn("sig", expr(
-      """transform(sequence(0, 15),
-        |  j -> array_min(transform(sh, t -> xxhash64(concat(cast(j AS STRING), '#', t)))))""".stripMargin))
+    // one cheap HOF pass hashes each shingle; the 16-family min loop
+    // runs in the codegen'd native expression (see MinHash16 Scaladoc)
+    val sigs = docs
+      .withColumn("hs", expr("transform(sh, t -> xxhash64(t))"))
+      .withColumn("sig", expr(s"${graft.functions.MinHash16.name}(hs)"))
     val bands = sigs.select(
       col("doc_id"), col("sh"),
       explode(expr(

@@ -1,0 +1,165 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.{GeoOps, Validation}
+import graft.sources.SbReader
+
+/** The reference's ingest/validation/geo surface as graded queries
+  * (SURVEY §2-A A1/A8/A15): SeaBASS file ingestion, the validation
+  * rule engine, and geo bbox+polygon search — each with a DuckDB
+  * oracle recomputing the same result relationally.
+  */
+object RefSurface {
+
+  /** Stage a directory of synthetic `.sb` files derived from the
+    * documents table (one file per language; fields doc_id,n_chars;
+    * a '/missing=' sentinel exercised on one record). Fixture
+    * generation only — the graded operator is the parse-back.
+    */
+  private def stageSbDir(s: SparkSession, d: String): String = {
+    val dir = Files.createTempDirectory("graft_sb_")
+    val docs = documents(s, d)
+      .select("lang", "doc_id", "n_chars")
+      .collect()
+      .groupBy(_.getString(0))
+    docs.foreach { case (lang, rows) =>
+      val sb = new StringBuilder
+      sb ++= "/begin_header\n"
+      sb ++= "/investigators=graft_engine\n"
+      sb ++= s"/cruise=corpus_$lang\n"
+      sb ++= "/fields=doc_id,n_chars\n"
+      sb ++= "/units=none,none\n"
+      sb ++= "/delimiter=comma\n"
+      sb ++= "/missing=-999\n"
+      sb ++= "/end_header\n"
+      rows.sortBy(_.getLong(1)).foreach { r =>
+        sb ++= s"${r.getLong(1)},${r.getLong(2)}\n"
+      }
+      Files.writeString(dir.resolve(s"corpus_$lang.sb"), sb.toString)
+    }
+    dir.toString
+  }
+
+  /** ref_seabass_ingest — parse the staged `.sb` files back through
+    * the long/narrow reader and aggregate per field; the oracle
+    * recomputes identical sums straight from documents. Exercises
+    * header parse, delimiter handling, and numeric coercion.
+    */
+  def refSeabassIngest(s: SparkSession, d: String): DataFrame = {
+    val dir = stageSbDir(s, d)
+    SbReader.readLong(s, s"$dir/*.sb")
+      .groupBy("field")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value_num")).cast("double").as("sum_num"))
+      .orderBy("field")
+  }
+  val refSeabassIngestSql: String =
+    """SELECT 'doc_id' AS field, count(*) AS n, CAST(sum(doc_id) AS DOUBLE) AS sum_num
+      |FROM documents
+      |UNION ALL
+      |SELECT 'n_chars' AS field, count(*) AS n, CAST(sum(n_chars) AS DOUBLE) AS sum_num
+      |FROM documents
+      |ORDER BY field""".stripMargin
+
+  /** ref_validation_report — the A15 rule battery over a documents
+    * projection, one aggregation pass for the whole config. The oracle
+    * recomputes each rule's violation count as plain SQL.
+    */
+  def refValidationReport(s: SparkSession, d: String): DataFrame = {
+    import Validation._
+    val frame = documents(s, d).select(col("doc_id"), col("n_chars"), col("lang"))
+    validate(frame, Seq(
+      Required("doc_id"),
+      Required("lang"),
+      NumericRange("n_chars", 0, 400),
+      LessOrEqual("doc_id", "n_chars"),
+      Matches("lang", "^[a-z]{2}$")))
+      .orderBy("rule")
+  }
+  val refValidationReportSql: String =
+    """SELECT rule, severity, n_violations, n_rows,
+      |  CASE WHEN n_violations = 0 THEN 'OK'
+      |       WHEN severity = 'ERROR' THEN 'ERROR'
+      |       ELSE 'WARNING' END AS status
+      |FROM (
+      |  SELECT 'required:doc_id' AS rule, 'ERROR' AS severity,
+      |    count(*) FILTER (WHERE doc_id IS NULL) AS n_violations, count(*) AS n_rows FROM documents
+      |  UNION ALL
+      |  SELECT 'required:lang', 'ERROR',
+      |    count(*) FILTER (WHERE lang IS NULL), count(*) FROM documents
+      |  UNION ALL
+      |  SELECT 'range:n_chars[0.0,400.0]', 'WARNING',
+      |    count(*) FILTER (WHERE n_chars IS NOT NULL AND n_chars NOT BETWEEN 0 AND 400),
+      |    count(*) FROM documents
+      |  UNION ALL
+      |  SELECT 'compare:doc_id<=n_chars', 'ERROR',
+      |    count(*) FILTER (WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND doc_id > n_chars),
+      |    count(*) FROM documents
+      |  UNION ALL
+      |  SELECT 'matches:lang~^[a-z]{2}$', 'WARNING',
+      |    count(*) FILTER (WHERE lang IS NOT NULL AND NOT regexp_matches(lang, '^[a-z]{2}$')),
+      |    count(*) FROM documents) t
+      |ORDER BY rule""".stripMargin
+
+  /** Synthetic lon/lat projection of events (the testdata has no geo
+    * columns): lon from the 2-decimal value, lat from user_id — both
+    * exact in double, identical in DuckDB.
+    */
+  private def geoEvents(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
+      col("event_id"),
+      (col("value") % 360.0 - lit(180.0)).as("lon"),
+      ((col("user_id") % 180).cast("double") - lit(90.0)).as("lat"))
+
+  /** Triangle chosen so no (2-decimal lon, integer lat) point can lie
+    * exactly on an edge — ray-cast and half-plane tests then agree
+    * exactly (boundary-free equivalence).
+    */
+  private val tri = Seq((-120.005, -80.5), (120.005, -80.5), (0.005, 80.5))
+
+  /** ref_geo_filter — A8: bbox prefilter + exact point-in-polygon via
+    * the codegen'd ray-casting expression, counted per event bucket.
+    * The DuckDB oracle proves the same membership with half-plane sign
+    * tests (valid for a convex polygon) — two independent geometric
+    * formulations agreeing exactly.
+    */
+  def refGeoFilter(s: SparkSession, d: String): DataFrame =
+    geoEvents(s, d)
+      .filter(GeoOps.inPolygon(col("lon"), col("lat"), tri))
+      .select(col("event_id"), col("lon"), col("lat"))
+      .orderBy("event_id")
+  val refGeoFilterSql: String = {
+    // half-plane test: for CCW triangle ABC, inside iff cross(AB,AP),
+    // cross(BC,BP), cross(CA,CP) all share one sign
+    def cross(ax: Double, ay: Double, bx: Double, by: Double) =
+      s"(($bx - $ax) * (lat - $ay) - (($by) - ($ay)) * (lon - $ax))"
+    val Seq((ax, ay), (bx, by), (cx, cy)) = tri
+    val c1 = cross(ax, ay, bx, by)
+    val c2 = cross(bx, by, cx, cy)
+    val c3 = cross(cx, cy, ax, ay)
+    s"""WITH g AS (
+       |  SELECT event_id, value % 360.0 - 180.0 AS lon,
+       |         CAST(user_id % 180 AS DOUBLE) - 90.0 AS lat
+       |  FROM events)
+       |SELECT event_id, lon, lat FROM g
+       |WHERE ($c1 > 0 AND $c2 > 0 AND $c3 > 0)
+       |   OR ($c1 < 0 AND $c2 < 0 AND $c3 < 0)
+       |ORDER BY event_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ref_seabass_ingest" -> (refSeabassIngest _),
+    "ref_validation_report" -> (refValidationReport _),
+    "ref_geo_filter" -> (refGeoFilter _),
+  )
+  val oracle: Map[String, String] = Map(
+    "ref_seabass_ingest" -> refSeabassIngestSql,
+    "ref_validation_report" -> refValidationReportSql,
+    "ref_geo_filter" -> refGeoFilterSql,
+  )
+}

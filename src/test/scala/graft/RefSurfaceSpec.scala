@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.functions.{GeoOps, Validation}
+import graft.sources.SbReader
+
+/** Unit coverage for the reference-surface building blocks (SURVEY
+  * §2-A A1/A8/A15) beyond the query-level oracles: header parsing
+  * corner cases, missing-value handling, rule severities, polygon
+  * membership truth table.
+  */
+class RefSurfaceSpec extends SparkSpec {
+
+  private val sbText =
+    """/begin_header
+      |/investigators=Jane_Doe
+      |/cruise=endeavor_22
+      |/fields=depth,chl,sal
+      |/units=m,mg/m^3,psu
+      |/delimiter=comma
+      |/missing=-999
+      |/north_latitude=41.000[DEG]
+      |/south_latitude=40.000[DEG]
+      |!comment line inside header
+      |/end_header
+      |5,0.42,35.1
+      |10,-999,35.2
+      |20,1.05,-999
+      |""".stripMargin
+
+  test("SeaBASS header + records parse (fields, missing, comments)") {
+    val f = SbReader.parseFile("x.sb", sbText)
+    assert(f.metadata("cruise") == "endeavor_22")
+    assert(f.metadata("north_latitude") == "41.000[DEG]")
+    assert(f.fields == Seq("depth", "chl", "sal"))
+    assert(f.records.length == 3)
+    assert(f.records(1)(1).isEmpty, "missing sentinel must parse as None")
+    assert(f.records(0) == Seq(Some(5.0), Some(0.42), Some(35.1)))
+  }
+
+  test("SeaBASS space-delimited variant") {
+    val f = SbReader.parseFile("y.sb",
+      "/begin_header\n/fields=a,b\n/delimiter=space\n/end_header\n1 2\n3 4\n")
+    assert(f.records == Seq(Seq(Some(1.0), Some(2.0)), Seq(Some(3.0), Some(4.0))))
+  }
+
+  test("readLong + readWide over a staged directory") {
+    val dir = Files.createTempDirectory("graft_sbspec_")
+    Files.writeString(dir.resolve("a.sb"), sbText)
+    val long = SbReader.readLong(spark, s"$dir/*.sb")
+    assert(long.count() == 9) // 3 records × 3 fields
+    assert(long.filter(col("value_num").isNull).count() == 2) // the two -999s
+    val wide = SbReader.readWide(spark, s"$dir/*.sb", Seq("depth", "chl", "sal"))
+    assert(wide.count() == 3)
+    assert(wide.filter(col("chl").isNull).count() == 1)
+  }
+
+  test("validation severities + overall rollup") {
+    import Validation._
+    import spark.implicits._
+    val df = Seq((1L, 10.0), (2L, 999.0), (3L, 20.0)).toDF("id", "v")
+    val report = validate(df, Seq(
+      Required("id"),
+      NumericRange("v", 0, 100, Warning)))
+    val byRule = report.collect().map(r => r.getString(0) -> (r.getLong(2), r.getString(4))).toMap
+    assert(byRule("required:id") == (0L, "OK"))
+    assert(byRule("range:v[0.0,100.0]") == (1L, "WARNING"))
+    assert(overallStatus(report) == "WARNING")
+  }
+
+  test("point-in-polygon truth table (codegen + interpreted agree)") {
+    import spark.implicits._
+    val square = Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0))
+    val pts = Seq(
+      (1L, 5.0, 5.0, true),   // center
+      (2L, 15.0, 5.0, false), // outside bbox
+      (3L, 9.9, 9.9, true),   // near corner, inside
+      (4L, -0.1, 5.0, false)) // just outside
+    val df = pts.toDF("id", "lon", "lat", "expected")
+    val got = df.withColumn("inside",
+        GeoOps.inPolygon(col("lon"), col("lat"), square))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    pts.foreach { case (id, _, _, exp) => assert(got(id) == exp, s"point $id") }
+  }
+}
