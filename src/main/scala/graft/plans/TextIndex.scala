@@ -1,0 +1,147 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BinaryExpression, EqualTo, Expression, ExpressionInfo, Literal, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Inverted-index text search — the 100 TB path for the reference's A3
+  * free-text operator (SURVEY §2-A A3, §4 "natural extension point").
+  *
+  * Pieces:
+  *  1. [[GraftTextSearch]] — a native predicate expression with plain
+  *     substring semantics (`lower(text) contains lower(term)`). Works
+  *     standalone everywhere; the rewrite is purely an optimization.
+  *  2. [[TextIndex.build]] — the (token, id) inverted index as a
+  *     Parquet table (at scale: bucketed by token).
+  *  3. [[TextIndexSearchRule]] — a `Rule[LogicalPlan]` that rewrites
+  *     `Filter(graft_text_search(text, 'term'), corpus)` into a
+  *     LeftSemi join against the index, so the text column itself is
+  *     never scanned for the filter.
+  *
+  * Semantics preservation: the corpus tokenizer splits on ' ', so any
+  * substring of the raw text that spans a token boundary must contain
+  * a space. Hence for SPACE-FREE terms, `text contains term` ⇔ `some
+  * token contains term`, and the rewrite (index token filtered with
+  * contains, semi-joined on id) is exact. Terms with spaces are left
+  * to the scan path — the rule simply doesn't fire.
+  */
+object TextIndex {
+
+  val pathConf = "spark.graft.textIndex.path"
+  val idColConf = "spark.graft.textIndex.idCol"
+
+  /** Build the inverted index: one (token, id) row per distinct token
+    * per document. At 100 TB: `.bucketBy(N, "token")` into a table so
+    * the semi-join is co-located; plain Parquet suffices here and
+    * token-predicate pushdown still prunes row groups.
+    */
+  def build(docs: DataFrame, idCol: String, textCol: String, path: String): Unit =
+    docs.select(col(idCol), explode(array_distinct(split(lower(col(textCol)), " ")))
+        .as("token"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Enable the rewrite on a session: registers the expression, points
+    * the rule at an index, and (idempotently) installs the rule via
+    * the public experimental-optimizations hook. A library deployment
+    * would do the same through `SparkSessionExtensions.injectFunction`
+    * / `injectOptimizerRule`.
+    */
+  def enable(spark: SparkSession, indexPath: String, idCol: String): Unit = {
+    registerFunction(spark)
+    spark.conf.set(pathConf, indexPath)
+    spark.conf.set(idColConf, idCol)
+    val existing = spark.experimental.extraOptimizations
+    if (!existing.exists(_.isInstanceOf[TextIndexSearchRule]))
+      spark.experimental.extraOptimizations = existing :+ TextIndexSearchRule(spark)
+  }
+
+  val name = "graft_text_search"
+  @volatile private var registered = Set.empty[SparkSession]
+  def registerFunction(s: SparkSession): Unit =
+    if (!registered.contains(s)) synchronized {
+      s.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftTextSearch].getName, name),
+        (children: Seq[Expression]) => GraftTextSearch(children(0), children(1)))
+      registered += s
+    }
+}
+
+/** Case-insensitive substring predicate (see [[TextIndex]]). */
+case class GraftTextSearch(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"arguments must be strings, got (${left.dataType}, ${right.dataType})")
+
+  override protected def nullSafeEval(text: Any, term: Any): Any =
+    text.asInstanceOf[UTF8String].toLowerCase
+      .contains(term.asInstanceOf[UTF8String].toLowerCase)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $a.toLowerCase().contains($b.toLowerCase());")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GraftTextSearch =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Rewrite `graft_text_search(textAttr, 'term')` conjuncts into
+  * LeftSemi joins against the inverted index. Fires only when the
+  * session confs point at an index, the filter child exposes the id
+  * column, and the term is space-free (see semantics note above).
+  */
+case class TextIndexSearchRule(spark: SparkSession)
+    extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def indexPlanFor(term: String): Option[(LogicalPlan, Attribute)] = {
+    val path = spark.conf.getOption(TextIndex.pathConf).getOrElse(return None)
+    val idCol = spark.conf.get(TextIndex.idColConf, "doc_id")
+    val df = spark.read.parquet(path)
+      .filter(col("token").contains(term.toLowerCase))
+      .select(col(idCol))
+    val plan = df.queryExecution.analyzed
+    Some((plan, plan.output.head))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (spark.conf.getOption(TextIndex.pathConf).isEmpty) return plan
+    val idCol = spark.conf.get(TextIndex.idColConf, "doc_id")
+    plan.transform {
+      case f @ Filter(cond, child) if child.output.exists(_.name == idCol) =>
+        val childId = child.output.find(_.name == idCol).get
+        val conjuncts = splitConjunctivePredicates(cond)
+        val (rewritable, rest) = conjuncts.partition {
+          case GraftTextSearch(_: Attribute, Literal(t, StringType))
+            if t != null && !t.toString.contains(" ") => true
+          case _ => false
+        }
+        if (rewritable.isEmpty) f
+        else {
+          var newChild: LogicalPlan = child
+          rewritable.foreach { case GraftTextSearch(_, Literal(term, _)) =>
+            indexPlanFor(term.toString) match {
+              case Some((idx, idxId)) =>
+                newChild = Join(newChild, idx, LeftSemi,
+                  Some(EqualTo(childId, idxId)), JoinHint.NONE)
+              case None => ()
+            }
+          }
+          rest.reduceOption(org.apache.spark.sql.catalyst.expressions.And)
+            .map(Filter(_, newChild)).getOrElse(newChild)
+        }
+    }
+  }
+}

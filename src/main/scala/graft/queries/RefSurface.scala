@@ -152,14 +152,43 @@ object RefSurface {
        |ORDER BY event_id""".stripMargin
   }
 
+  private val indexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** ref_text_index_search — A3 at scale: the `graft_text_search`
+    * predicate rewritten by [[graft.plans.TextIndexSearchRule]] into a
+    * LeftSemi join against the (token, doc_id) inverted index, so the
+    * filter never scans the text column. Semantics are plain
+    * case-insensitive contains (the oracle is the LIKE formulation);
+    * PlanSpec asserts the semi-join actually fires.
+    */
+  def refTextIndexSearch(s: SparkSession, d: String): DataFrame = {
+    val idxPath = indexCache.computeIfAbsent(d, dir => {
+      val p = Files.createTempDirectory("graft_tidx_").toString
+      graft.plans.TextIndex.build(documents(s, dir), "doc_id", "text", p)
+      p
+    })
+    graft.plans.TextIndex.enable(s, idxPath, "doc_id")
+    documents(s, d)
+      .filter(expr(s"${graft.plans.TextIndex.name}(text, 'merge')") &&
+              col("n_chars") > 100)
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+  val refTextIndexSearchSql: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE lower(text) LIKE '%merge%' AND n_chars > 100
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ref_seabass_ingest" -> (refSeabassIngest _),
     "ref_validation_report" -> (refValidationReport _),
     "ref_geo_filter" -> (refGeoFilter _),
+    "ref_text_index_search" -> (refTextIndexSearch _),
   )
   val oracle: Map[String, String] = Map(
     "ref_seabass_ingest" -> refSeabassIngestSql,
     "ref_validation_report" -> refValidationReportSql,
     "ref_geo_filter" -> refGeoFilterSql,
+    "ref_text_index_search" -> refTextIndexSearchSql,
   )
 }

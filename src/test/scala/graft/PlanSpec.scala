@@ -48,4 +48,18 @@ class PlanSpec extends SparkSpec {
     assert(plan(LlmOps.simTopkCosine(spark, sf)).contains("BroadcastNestedLoopJoin") ||
            plan(LlmOps.simTopkCosine(spark, sf)).contains("BroadcastExchange"))
   }
+
+  test("ref_text_index_search rewrites to a semi-join on the inverted index") {
+    val df = graft.queries.RefSurface.refTextIndexSearch(spark, sf)
+    val p = plan(df)
+    assert(p.contains("LeftSemi"), s"no semi-join — index rewrite did not fire:\n$p")
+    assert(p.contains("graft_tidx_"), s"index table not scanned:\n$p")
+    // and the rewrite preserved semantics vs the plain contains filter
+    val expected = graft.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.lower(
+        org.apache.spark.sql.functions.col("text")).contains("merge") &&
+        org.apache.spark.sql.functions.col("n_chars") > 100)
+      .count()
+    assert(df.count() == expected)
+  }
 }
