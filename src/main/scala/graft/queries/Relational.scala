@@ -112,6 +112,27 @@ object Relational {
       |FROM orders WHERE o_totalprice > 400000.0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** sink_partitioned_prune — write orders partitioned by status to
+    * parquet, read back ONE partition. The point at 100 TB: the filter
+    * on the partition column becomes directory pruning (PartitionFilters
+    * in the scan, zero data files of other statuses opened) — asserted
+    * in PlanSpec. Oracle recomputes from the source table.
+    */
+  def sinkPartitionedPrune(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part_").toString
+    orders(s, d)
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
+    s.read.parquet(tmp)
+      .filter(col("o_orderstatus") === "P")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("o_orderpriority")
+  }
+  val sinkPartitionedPruneSql: String =
+    s"""SELECT o_orderpriority, count(*) AS n, ${dsumSql("o_totalprice")} AS total
+       |FROM orders WHERE o_orderstatus = 'P'
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ------------------------------------------------------------------
   // Joins (B4–B10)
   // ------------------------------------------------------------------
@@ -448,6 +469,7 @@ object Relational {
     "scan_project_filter" -> (scanProjectFilter _),
     "scan_csv_roundtrip" -> (scanCsvRoundtrip _),
     "sink_parquet_roundtrip" -> (sinkParquetRoundtrip _),
+    "sink_partitioned_prune" -> (sinkPartitionedPrune _),
     "join_inner_hash" -> (joinInnerHash _),
     "join_broadcast" -> (joinBroadcast _),
     "join_left_outer" -> (joinLeftOuter _),
@@ -474,6 +496,7 @@ object Relational {
     "scan_project_filter" -> scanProjectFilterSql,
     "scan_csv_roundtrip" -> scanCsvRoundtripSql,
     "sink_parquet_roundtrip" -> sinkParquetRoundtripSql,
+    "sink_partitioned_prune" -> sinkPartitionedPruneSql,
     "join_inner_hash" -> joinInnerHashSql,
     "join_broadcast" -> joinBroadcastSql,
     "join_left_outer" -> joinLeftOuterSql,

@@ -219,11 +219,49 @@ object Streaming {
     s"""SELECT event_type, count(*) AS n, ${Tables.dsumSql("value")} AS sum_value
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** stream_custom_state — arbitrary per-key state via
+    * `flatMapGroupsWithState` (the KeyValueGroupedDataset custom-state
+    * API): per-user running event count + value total, emitted in
+    * update mode. State arithmetic is exact integer cents, so the
+    * nondeterministic order of the per-group value iterator cannot
+    * perturb the double output (cents/100.0 ≡ the oracle's decimal
+    * pattern). At scale, state is one small struct per active user,
+    * partitioned by the group key.
+    */
+  def streamCustomState(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val sch = rawSchema(s, d)
+    val dir = stageDir(s, d, copies = 1, sentinels = false)
+    val typed = s.readStream.schema(sch).parquet(dir)
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+    val updated = typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[(Long, Long)]) =>
+          val (n0, cents0) = state.getOption.getOrElse((0L, 0L))
+          var n = n0
+          var cents = cents0
+          rows.foreach { case (_, v) => n += 1; cents += math.round(v * 100) }
+          state.update((n, cents))
+          Iterator((user, n, cents / 100.0))
+      }
+      .toDF("user_id", "n_events", "sum_value")
+    runToBatch(s, updated, "update")
+      .orderBy("user_id")
+  }
+  val streamCustomStateSql: String =
+    s"""SELECT user_id, count(*) AS n_events, ${Tables.dsumSql("value")} AS sum_value
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_count" -> (streamTumblingCount _),
     "stream_sliding_sum" -> (streamSlidingSum _),
     "stream_session_window" -> (streamSessionWindow _),
     "stream_dedup_watermark" -> (streamDedupWatermark _),
+    "stream_custom_state" -> (streamCustomState _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -231,5 +269,6 @@ object Streaming {
     "stream_sliding_sum" -> streamSlidingSumSql,
     "stream_session_window" -> streamSessionWindowSql,
     "stream_dedup_watermark" -> streamDedupWatermarkSql,
+    "stream_custom_state" -> streamCustomStateSql,
   )
 }

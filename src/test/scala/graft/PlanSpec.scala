@@ -49,6 +49,13 @@ class PlanSpec extends SparkSpec {
            plan(LlmOps.simTopkCosine(spark, sf)).contains("BroadcastExchange"))
   }
 
+  test("sink_partitioned_prune prunes partitions at the scan") {
+    val df = Relational.sinkPartitionedPrune(spark, sf)
+    val p = plan(df)
+    assert(p.contains("PartitionFilters: [isnotnull(o_orderstatus"),
+      s"status filter not applied as partition pruning:\n$p")
+  }
+
   test("ref_text_index_search rewrites to a semi-join on the inverted index") {
     val df = graft.queries.RefSurface.refTextIndexSearch(spark, sf)
     val p = plan(df)
