@@ -155,19 +155,28 @@ object DedupExtras {
     val e = embeddings(s, d)
     val cents = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-    def nearestCells(df: DataFrame, idCol: String, embCol: String, k: Int): DataFrame = {
-      val w = Window.partitionBy(idCol).orderBy(col("cdist").desc, col("cent_id").asc)
-      df.crossJoin(broadcast(cents))
-        .select(col(idCol), col(embCol), col("cent_id"),
-          dotD(s, embCol, "cent_emb").as("cdist"))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") <= k)
-    }
-    val assigned = nearestCells(e, "vec_id", "embedding", 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    // corpus→cell assignment as an argmax AGGREGATION (max_by over a
+    // (dist, -cent_id) ordering struct): map-side partial agg shuffles
+    // one row per vector instead of windowing the 16×-expanded corpus —
+    // the shape that matters when the corpus is 100 TB. Tie-break
+    // matches the window formulation (highest dist, then lowest cell).
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        dotD(s, "embedding", "cent_emb").as("cdist"))
+      .groupBy("vec_id")
+      .agg(
+        max_by(col("cent_id"), struct(col("cdist"), -col("cent_id"))).as("cell"),
+        first(col("embedding")).as("embedding"))
+    // probe→cells keeps the window form: k=4 cells over 10 probes × 16
+    // centroids is driver-trivial at any corpus scale
     val probes = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
-    val probeCells = nearestCells(probes, "probe_id", "probe_emb", 4)
+    val wc = Window.partitionBy("probe_id").orderBy(col("cdist").desc, col("cent_id").asc)
+    val probeCells = probes.crossJoin(broadcast(cents))
+      .select(col("probe_id"), col("probe_emb"), col("cent_id"),
+        dotD(s, "probe_emb", "cent_emb").as("cdist"))
+      .withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= 4)
       .select(col("probe_id"), col("probe_emb"), col("cent_id").as("cell"))
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id").asc)
     probeCells.join(assigned, "cell")
