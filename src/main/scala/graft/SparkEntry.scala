@@ -16,7 +16,8 @@ object SparkEntry {
     graft.queries.TextOps.queries ++
     graft.queries.DedupExtras.queries ++
     graft.queries.Multimodal.queries ++
-    graft.queries.RefSurface.queries
+    graft.queries.RefSurface.queries ++
+    graft.queries.Analytics.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -29,5 +30,6 @@ object SparkEntry {
     graft.queries.TextOps.oracle ++
     graft.queries.DedupExtras.oracle ++
     graft.queries.Multimodal.oracle ++
-    graft.queries.RefSurface.oracle
+    graft.queries.RefSurface.oracle ++
+    graft.queries.Analytics.oracle
 }
