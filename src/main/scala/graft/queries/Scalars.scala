@@ -242,7 +242,26 @@ object Scalars {
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** agg_percentiles — exact interpolated quartiles of quantity per
+    * returnflag (`percentile` ≡ DuckDB `quantile_cont`: both sort and
+    * linearly interpolate at p·(n−1), the same IEEE arithmetic on the
+    * same inputs). Exact percentile requires a per-group sort; the
+    * scale path is `approx_percentile` (t-digest) — same API shape.
+    */
+  def aggPercentiles(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("quartiles"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  val aggPercentilesSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS quartiles,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_percentiles" -> (aggPercentiles _),
     "str_funcs" -> (strFuncs _),
     "date_funcs" -> (dateFuncs _),
     "math_funcs" -> (mathFuncs _),
@@ -255,6 +274,7 @@ object Scalars {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_percentiles" -> aggPercentilesSql,
     "str_funcs" -> strFuncsSql,
     "date_funcs" -> dateFuncsSql,
     "math_funcs" -> mathFuncsSql,

@@ -256,7 +256,47 @@ object Streaming {
     s"""SELECT user_id, count(*) AS n_events, ${Tables.dsumSql("value")} AS sum_value
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** stream_stream_join — windowed stream-stream inner join: each
+    * purchase joined to the same user's views in the preceding hour.
+    * Both sides carry watermarks and the join condition carries the
+    * time bound, so each side's state is purged as the watermark
+    * passes (bounded state — the requirement for an unbounded run).
+    * Oracle: the equivalent batch range self-join.
+    */
+  def streamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val sch = rawSchema(s, d)
+    val dir = stageDir(s, d, copies = 1, sentinels = false)
+    def side(tpe: String, prefix: String): DataFrame =
+      s.readStream.schema(sch).parquet(dir)
+        .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+        .filter(col("event_type") === tpe)
+        .select(
+          col("event_id").as(s"${prefix}_id"),
+          col("user_id").as(s"${prefix}_user"),
+          col("ets").as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "2 hours")
+    val joined = side("purchase", "p").join(
+      side("view", "v"),
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") <= col("p_ts"))
+    runToBatch(s, joined, "append")
+      .select(col("p_id"), col("v_id"), col("p_user"),
+        col("p_ts").cast(TimestampNTZType).as("p_ts"),
+        col("v_ts").cast(TimestampNTZType).as("v_ts"))
+      .orderBy("p_id", "v_id")
+  }
+  val streamStreamJoinSql: String =
+    """SELECT p.event_id AS p_id, v.event_id AS v_id, p.user_id AS p_user,
+      |  p.ts AS p_ts, v.ts AS v_ts
+      |FROM events p JOIN events v
+      |  ON p.user_id = v.user_id
+      | AND p.event_type = 'purchase' AND v.event_type = 'view'
+      | AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+      |ORDER BY p_id, v_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_stream_join" -> (streamStreamJoin _),
     "stream_tumbling_count" -> (streamTumblingCount _),
     "stream_sliding_sum" -> (streamSlidingSum _),
     "stream_session_window" -> (streamSessionWindow _),
@@ -265,6 +305,7 @@ object Streaming {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_stream_join" -> streamStreamJoinSql,
     "stream_tumbling_count" -> streamTumblingCountSql,
     "stream_sliding_sum" -> streamSlidingSumSql,
     "stream_session_window" -> streamSessionWindowSql,

@@ -20,7 +20,8 @@ class QueriesSmokeSpec extends SparkSpec {
   // by Verify; running all four here would double the suite's wall time.
   private val deferred = Set(
     "stream_tumbling_count", "stream_sliding_sum",
-    "stream_session_window", "stream_dedup_watermark", "stream_custom_state")
+    "stream_session_window", "stream_dedup_watermark", "stream_custom_state",
+    "stream_stream_join")
 
   SparkEntry.queries.filterNot(q => deferred(q._1)).foreach { case (name, fn) =>
     test(s"$name runs and returns rows") {
