@@ -79,20 +79,26 @@ object LlmOps {
       .withColumn("hs", expr("transform(sh, t -> xxhash64(t))"))
       .withColumn("sig", expr(s"${graft.functions.MinHash16.name}(hs)"))
     val bands = sigs.select(
-      col("doc_id"), col("sh"),
+      col("doc_id"),
       explode(expr(
         """transform(sequence(0, 3),
           |  b -> concat_ws('|', cast(b AS STRING),
           |    cast(sig[b*4] AS STRING), cast(sig[b*4+1] AS STRING),
           |    cast(sig[b*4+2] AS STRING), cast(sig[b*4+3] AS STRING)))""".stripMargin)).as("band_key"))
-    val a = bands.select(col("band_key"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = bands.select(col("band_key"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band_key"))
+    // candidate ids first (a pair colliding in k bands appears k times —
+    // dedupe BEFORE touching the shingle arrays), then join the shingle
+    // sets back and compute the exact Jaccard once per pair
+    val candidates = bands.select(col("band_key"), col("doc_id").as("doc_a"))
+      .join(bands.select(col("band_key"), col("doc_id").as("doc_b")), Seq("band_key"))
       .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    candidates
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= 0.5)
       .orderBy("doc_a", "doc_b")
   }
