@@ -152,6 +152,66 @@ object RefSurface {
        |ORDER BY event_id""".stripMargin
   }
 
+  /** store_merge_upsert — the A2 CRUD surface: seed a keyed Parquet
+    * store with orders, MERGE in updates (a flat 25.50 surcharge on
+    * urgent orders — decimal ADDITION, which is exact; a percentage
+    * multiply lands every odd cent exactly on the .5 rounding
+    * boundary, where Spark rounds HALF_UP and DuckDB half-to-even),
+    * DELETE a status slice, read back an aggregate. The oracle
+    * recomputes the final state relationally — proving upsert =
+    * anti-join ∪ updates and delete = complement.
+    */
+  def storeMergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val path = Files.createTempDirectory("graft_store_").toString + "/orders"
+    val store = new graft.sources.DatasetStore(s, path, "o_orderkey")
+    val base = orders(s, d)
+    store.init(base)
+    val updates = base.filter(col("o_orderpriority") === "1-URGENT")
+      .withColumn("o_totalprice",
+        (dec(col("o_totalprice")) + lit(25.50).cast(M)).cast("double"))
+    store.upsert(updates)
+    store.delete(col("o_orderstatus") === "P")
+    store.read()
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("o_orderpriority")
+  }
+  val storeMergeUpsertSql: String =
+    s"""SELECT o_orderpriority, count(*) AS n, ${dsumSql("o_totalprice")} AS total
+       |FROM (
+       |  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+    |    CASE WHEN o_orderpriority = '1-URGENT'
+       |         THEN CAST(CAST(o_totalprice AS DECIMAL(14,2)) + CAST(25.50 AS DECIMAL(14,2)) AS DOUBLE)
+       |         ELSE o_totalprice END AS o_totalprice
+       |  FROM orders) t
+       |WHERE o_orderstatus <> 'P'
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** page_offset_limit — the A13 pagination contract: a deterministic
+    * total order, rows [20, 40) plus the total count as a column (the
+    * reference returns total_count beside the page). row_number over a
+    * global order is the offset form; at scale a keyset cursor
+    * (WHERE key > last_seen LIMIT n) replaces deep offsets.
+    */
+  def pageOffsetLimit(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("total_count", count(lit(1)).over())
+      .filter(col("rn") > 20 && col("rn") <= 40)
+      .orderBy("rn")
+  }
+  val pageOffsetLimitSql: String =
+    """SELECT c_custkey, c_name, c_acctbal, rn, total_count FROM (
+      |  SELECT c_custkey, c_name, c_acctbal,
+      |    row_number() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS rn,
+      |    count(*) OVER () AS total_count
+      |  FROM customer) t
+      |WHERE rn > 20 AND rn <= 40
+      |ORDER BY rn""".stripMargin
+
   private val indexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** ref_text_index_search — A3 at scale: the `graft_text_search`
@@ -184,11 +244,15 @@ object RefSurface {
     "ref_validation_report" -> (refValidationReport _),
     "ref_geo_filter" -> (refGeoFilter _),
     "ref_text_index_search" -> (refTextIndexSearch _),
+    "store_merge_upsert" -> (storeMergeUpsert _),
+    "page_offset_limit" -> (pageOffsetLimit _),
   )
   val oracle: Map[String, String] = Map(
     "ref_seabass_ingest" -> refSeabassIngestSql,
     "ref_validation_report" -> refValidationReportSql,
     "ref_geo_filter" -> refGeoFilterSql,
     "ref_text_index_search" -> refTextIndexSearchSql,
+    "store_merge_upsert" -> storeMergeUpsertSql,
+    "page_offset_limit" -> pageOffsetLimitSql,
   )
 }
