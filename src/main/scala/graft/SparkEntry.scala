@@ -17,7 +17,8 @@ object SparkEntry {
     graft.queries.DedupExtras.queries ++
     graft.queries.Multimodal.queries ++
     graft.queries.RefSurface.queries ++
-    graft.queries.Analytics.queries
+    graft.queries.Analytics.queries ++
+    graft.queries.Extras2.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -31,5 +32,6 @@ object SparkEntry {
     graft.queries.DedupExtras.oracle ++
     graft.queries.Multimodal.oracle ++
     graft.queries.RefSurface.oracle ++
-    graft.queries.Analytics.oracle
+    graft.queries.Analytics.oracle ++
+    graft.queries.Extras2.oracle
 }

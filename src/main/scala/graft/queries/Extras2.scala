@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Second wave of coverage operators: RANGE window frames, ordered
+  * string aggregation, pivot, and explicit skew salting.
+  */
+object Extras2 {
+
+  /** win_range_interval — 30-day trailing revenue per customer: a
+    * RANGE frame over event time (peer rows included by VALUE, so
+    * result is independent of tie order — unlike ROWS frames, RANGE
+    * needs no unique tie-break for determinism). Decimal sums (R2).
+    */
+  def winRangeInterval(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("graft_orders_wri")
+    s.sql("""
+      SELECT o_orderkey, o_custkey, o_orderdate,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate
+          RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE)
+          AS trailing_30d
+      FROM graft_orders_wri
+      ORDER BY o_custkey, o_orderdate, o_orderkey
+    """)
+  }
+  val winRangeIntervalSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderdate,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate
+      |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS trailing_30d
+      |FROM orders
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  /** agg_string_concat — per-nation supplier roster as one string.
+    * collect_list order is shuffle-dependent, so the list is sorted
+    * before joining — the deterministic form of string aggregation.
+    */
+  def aggStringConcat(s: SparkSession, d: String): DataFrame =
+    supplier(s, d)
+      .groupBy("s_nationkey")
+      .agg(
+        array_join(array_sort(collect_list(col("s_name"))), ",").as("roster"),
+        count(lit(1)).as("n_supp"))
+      .orderBy("s_nationkey")
+  val aggStringConcatSql: String =
+    """SELECT s_nationkey,
+      |  string_agg(s_name, ',' ORDER BY s_name) AS roster,
+      |  count(*) AS n_supp
+      |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
+  /** agg_pivot — order counts + decimal totals by priority, statuses
+    * pivoted to columns (RelationalGroupedDataset.pivot with explicit
+    * value list — the explicit list keeps the schema static, which is
+    * what you want at scale: no extra pass to discover pivot values).
+    */
+  def aggPivot(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
+      .orderBy("o_orderpriority")
+  val aggPivotSql: String =
+    """SELECT o_orderpriority,
+      |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+      |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+      |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** agg_salted_skew — the skew-salting pattern made explicit: a hot
+    * grouping key (5 event types over the whole table) is salted into
+    * 16 sub-keys for the first aggregation, then the partials combine
+    * in a second, tiny aggregation. Results are identical to the plain
+    * group-by (the oracle) because both phases are exact (counts +
+    * decimal sums). At 100 TB this is the manual fix when one key
+    * holds half the data and AQE's skew handling can't split an
+    * aggregation. The salt must be deterministic per ROW (hash of the
+    * row id — never rand(), which would break retry/replay semantics).
+    */
+  def aggSaltedSkew(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(16)))
+      .groupBy("event_type", "salt")
+      .agg(count(lit(1)).as("pn"), sum(dec(col("value"))).as("psum"))
+      .groupBy("event_type")
+      .agg(sum(col("pn")).as("n"), sum(col("psum")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  val aggSaltedSkewSql: String =
+    s"""SELECT event_type, count(*) AS n, ${dsumSql("value")} AS sum_value
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_range_interval" -> (winRangeInterval _),
+    "agg_string_concat" -> (aggStringConcat _),
+    "agg_pivot" -> (aggPivot _),
+    "agg_salted_skew" -> (aggSaltedSkew _),
+  )
+  val oracle: Map[String, String] = Map(
+    "win_range_interval" -> winRangeIntervalSql,
+    "agg_string_concat" -> aggStringConcatSql,
+    "agg_pivot" -> aggPivotSql,
+    "agg_salted_skew" -> aggSaltedSkewSql,
+  )
+}
