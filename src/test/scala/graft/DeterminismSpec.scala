@@ -27,4 +27,21 @@ class DeterminismSpec extends SparkSpec {
       assert(a == b, s"$name differs between two runs")
     }
   }
+
+  test("property: dsum over random 2-decimal doubles == exact rational sum") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val gen = Gen.listOfN(300, Gen.chooseNum(-999999L, 999999L).map(_ / 100.0))
+    (0 until 10).foreach { i =>
+      val xs = gen.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      // exact rational sum in cents, converted once to double
+      val expected = (BigDecimal(xs.map(x => math.round(x * 100)).sum) / 100).toDouble
+      val got = xs.toDF("x")
+        .repartition(7) // force a multi-partition partial/final merge
+        .agg(Tables.dsum(org.apache.spark.sql.functions.col("x")))
+        .head().getDouble(0)
+      assert(got == expected, s"seed $i: dsum=$got exact=$expected")
+    }
+  }
 }

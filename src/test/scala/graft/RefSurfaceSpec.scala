@@ -70,6 +70,24 @@ class RefSurfaceSpec extends SparkSpec {
     assert(overallStatus(report) == "WARNING")
   }
 
+  test("DatasetStore CRUD: init, append, upsert replaces keys, delete filters") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = Files.createTempDirectory("graft_storespec_").toString + "/t"
+    val store = new graft.sources.DatasetStore(spark, path, "id")
+    store.init(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "v"))
+    store.append(Seq((3L, "c", 30.0)).toDF("id", "name", "v"))
+    assert(store.read().count() == 3)
+    store.upsert(Seq((2L, "b2", 25.0), (4L, "d", 40.0)).toDF("id", "name", "v"))
+    val afterUpsert = store.read().collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(afterUpsert(2L) == ("b2", 25.0), "existing key not replaced")
+    assert(afterUpsert(4L) == ("d", 40.0), "new key not inserted")
+    assert(afterUpsert.size == 4)
+    store.delete(col("v") >= 30.0)
+    assert(store.read().collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("point-in-polygon truth table (codegen + interpreted agree)") {
     import spark.implicits._
     val square = Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0))
