@@ -94,13 +94,68 @@ object Extras2 {
     s"""SELECT event_type, count(*) AS n, ${dsumSql("value")} AS sum_value
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** scan_json_source — JSON-lines source+sink round-trip (third file
+    * format beside Parquet/CSV): a slice of events written as JSON,
+    * read back with an explicit schema (no inference pass — at scale
+    * schema inference means reading everything twice), aggregated.
+    */
+  def scanJsonSource(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_json_").toString
+    val slice = events(s, d)
+      .filter(col("event_id") % 50 === 0)
+      .select("event_id", "event_type", "value")
+    slice.write.mode("overwrite").json(tmp)
+    s.read.schema(slice.schema).json(tmp)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+  val scanJsonSourceSql: String =
+    s"""SELECT event_type, count(*) AS n, ${dsumSql("value")} AS sum_value
+       |FROM events WHERE event_id % 50 = 0
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** win_first_last — first_value / last_value / nth_value over a full
+    * partition frame (unbounded both ways, so last_value is the true
+    * partition max, not the running default frame), ordered with a
+    * unique tie-break (N4).
+    */
+  def winFirstLast(s: SparkSession, d: String): DataFrame = {
+    part(s, d).createOrReplaceTempView("graft_part_wfl")
+    s.sql("""
+      SELECT p_partkey, p_brand, p_retailprice,
+        first_value(p_name) OVER w AS priciest,
+        last_value(p_name) OVER w AS cheapest,
+        nth_value(p_name, 2) OVER w AS runner_up
+      FROM graft_part_wfl
+      WINDOW w AS (PARTITION BY p_brand
+                   ORDER BY p_retailprice DESC, p_partkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY p_partkey
+    """)
+  }
+  val winFirstLastSql: String =
+    """SELECT p_partkey, p_brand, p_retailprice,
+      |  first_value(p_name) OVER w AS priciest,
+      |  last_value(p_name) OVER w AS cheapest,
+      |  nth_value(p_name, 2) OVER w AS runner_up
+      |FROM part
+      |WINDOW w AS (PARTITION BY p_brand
+      |             ORDER BY p_retailprice DESC, p_partkey ASC
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY p_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_json_source" -> (scanJsonSource _),
+    "win_first_last" -> (winFirstLast _),
     "win_range_interval" -> (winRangeInterval _),
     "agg_string_concat" -> (aggStringConcat _),
     "agg_pivot" -> (aggPivot _),
     "agg_salted_skew" -> (aggSaltedSkew _),
   )
   val oracle: Map[String, String] = Map(
+    "scan_json_source" -> scanJsonSourceSql,
+    "win_first_last" -> winFirstLastSql,
     "win_range_interval" -> winRangeIntervalSql,
     "agg_string_concat" -> aggStringConcatSql,
     "agg_pivot" -> aggPivotSql,
