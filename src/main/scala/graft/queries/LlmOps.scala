@@ -118,7 +118,7 @@ object LlmOps {
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         round(dotD(s, "probe_emb", "embedding"), 6).as("sim"))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 5)
       .orderBy("probe_id", "rn")
   }

@@ -198,7 +198,7 @@ object RefSurface {
     val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)
     customer(s, d)
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("total_count", count(lit(1)).over())
       .filter(col("rn") > 20 && col("rn") <= 40)
       .orderBy("rn")

@@ -40,7 +40,7 @@ object Scalars {
         substring(col("p_name"), 1, 10).as("name_prefix"),
         trim(concat(lit("  "), col("p_brand"), lit("  "))).as("brand_trim"),
         concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
-        length(col("p_name")).as("name_len"),
+        length(col("p_name")).cast("long").as("name_len"),
         regexp_replace(col("p_type"), lit(" "), lit("_")).as("type_snake"))
       .orderBy("p_partkey")
   val strFuncsSql: String =

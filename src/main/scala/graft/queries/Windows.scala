@@ -35,9 +35,9 @@ object Windows {
     part(s, d)
       .select(
         col("p_brand"), col("p_partkey"), col("p_retailprice"),
-        rank().over(byPrice).as("rnk"),
-        dense_rank().over(byPrice).as("drnk"),
-        row_number().over(byPriceUk).as("rn"))
+        rank().over(byPrice).cast("long").as("rnk"),
+        dense_rank().over(byPrice).cast("long").as("drnk"),
+        row_number().over(byPriceUk).cast("long").as("rn"))
       .orderBy("p_brand", "rn")
   }
   val winRankSql: String =
@@ -59,7 +59,7 @@ object Windows {
     orders(s, d)
       .select(
         col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-        row_number().over(w).as("rn"))
+        row_number().over(w).cast("long").as("rn"))
       .filter(col("rn") <= 3)
       .orderBy("o_custkey", "rn")
   }
@@ -160,7 +160,7 @@ object Windows {
     customer(s, d)
       .select(
         col("c_custkey"), col("c_acctbal"),
-        ntile(4).over(byBalUk).as("quartile"),
+        ntile(4).over(byBalUk).cast("long").as("quartile"),
         percent_rank().over(byBal).as("pct_rank"),
         cume_dist().over(byBal).as("cdist"))
       .orderBy("c_custkey")
