@@ -37,13 +37,13 @@ object Streaming {
   private val ctr = new AtomicInteger(0)
 
   /** Raw events schema as read with nanosAsLong (ts is INT64 nanos). */
-  private def rawSchema(s: SparkSession, d: String): StructType = {
+  private[graft] def rawSchema(s: SparkSession, d: String): StructType = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$d/events.parquet").schema
   }
 
   /** Max event ts in nanos — bound for sentinel placement + filters. */
-  private def maxTsNanos(s: SparkSession, d: String): Long = {
+  private[graft] def maxTsNanos(s: SparkSession, d: String): Long = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$d/events.parquet").agg(max(col("ts"))).head().getLong(0)
   }
@@ -52,7 +52,7 @@ object Streaming {
     * (optionally) two far-future sentinel one-row files, with strictly
     * increasing mtimes so the file source processes them in order.
     */
-  private def stageDir(s: SparkSession, d: String, copies: Int, sentinels: Boolean): String = {
+  private[graft] def stageDir(s: SparkSession, d: String, copies: Int, sentinels: Boolean): String = {
     val dir = Files.createTempDirectory(s"graft_stream_${ctr.incrementAndGet()}_")
     val src = Paths.get(s"$d/events.parquet")
     val t0 = System.currentTimeMillis() - 120000
@@ -84,7 +84,7 @@ object Streaming {
   /** File-source stream of events with event-time `ets` (µs, matching
     * Tables.events / DuckDB's ns→µs truncation).
     */
-  private def eventStream(s: SparkSession, dir: String, sch: StructType): DataFrame =
+  private[graft] def eventStream(s: SparkSession, dir: String, sch: StructType): DataFrame =
     s.readStream
       .schema(sch)
       .option("maxFilesPerTrigger", "1")
@@ -94,7 +94,7 @@ object Streaming {
   /** Run a streaming frame to completion (AvailableNow) into a memory
     * sink and return the sink contents as a batch DataFrame.
     */
-  private def runToBatch(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
+  private[graft] def runToBatch(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = s"graft_mem_${ctr.incrementAndGet()}"
     val q = df.writeStream
       .format("memory")

@@ -28,4 +28,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() == batchHours,
       "append-mode stream withheld windows — sentinel flush broken")
   }
+
+  test("late data behind the watermark is dropped, not double-counted") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    // replay: data file -> far-future sentinels (watermark jumps past all
+    // real event time) -> a LATE copy of the same data. The windowed agg
+    // already emitted+evicted those windows, so every late row must be
+    // dropped; counts equal the single-copy batch aggregate.
+    val sch = Streaming.rawSchema(spark, sf)
+    val dir = Streaming.stageDir(spark, sf, copies = 1, sentinels = true)
+    val late = Paths.get(dir, "zz-late.parquet")
+    Files.copy(Paths.get(s"$sf/events.parquet"), late, StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(late, FileTime.fromMillis(System.currentTimeMillis()))
+    val maxNs = Streaming.maxTsNanos(spark, sf)
+    val agg = Streaming.eventStream(spark, dir, sch)
+      .withWatermark("ets", "1 hour")
+      .groupBy(window(col("ets"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      // cutoff at +1 day past real data: sentinel windows (at +2d/+3d)
+      // are harness artifacts, not part of the comparison
+      .filter(col("window.start") < timestamp_micros(lit(maxNs / 1000 + 86400L * 1000000)))
+    val streamed = Streaming.runToBatch(spark, agg, "append")
+      .agg(sum(col("n"))).head().getLong(0)
+    val batch = Tables.events(spark, sf).count()
+    assert(streamed == batch,
+      s"late replay changed totals: streamed=$streamed batch=$batch (doubled => late rows not dropped)")
+  }
 }
