@@ -145,7 +145,68 @@ object Extras2 {
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY p_partkey""".stripMargin
 
+  /** agg_moment_stats — population variance/stddev of quantity and its
+    * correlation with extendedprice, per returnflag. The built-in
+    * var_pop/stddev/corr over doubles are shuffle-order dependent
+    * (streaming covariance updates), so the moments are accumulated as
+    * EXACT decimals (x and x² of 2-dp values are exact at 4 dp; so are
+    * the cross products) and the closed-form combinations run in one
+    * fixed IEEE sequence on both engines:
+    * var = (n·Σx² − (Σx)²)/n², corr = cov/(σx·σy).
+    */
+  def aggMomentStats(s: SparkSession, d: String): DataFrame = {
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_extendedprice"))
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      // the SUMS are exact decimals (order-independent); each is cast to
+      // double ONCE (one correctly-rounded conversion) and the moment
+      // algebra then runs in identically-ordered IEEE doubles on both
+      // engines. Decimal-domain products would overflow: DuckDB's int64
+      // storage for DECIMAL(<=18) or Spark's precision-38 cap (which
+      // silently rounds).
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y).cast("double").as("sy"),
+        sum(y * y).cast("double").as("syy"),
+        sum(x * y).cast("double").as("sxy"))
+      .select(
+        col("l_returnflag"), col("n").cast("long").as("n"),
+        // round(,6/,8) guards the last-ulp FMA divergence (DuckDB's C++
+        // build fuses multiply-adds; the JVM does not)
+        round((col("n") * col("sxx") - col("sx") * col("sx")) /
+          (col("n") * col("n")), 6).as("var_qty"),
+        round(sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+          (col("n") * col("n"))), 6).as("stddev_qty"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+           sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 8)
+          .as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+  val aggMomentStatsSql: String = {
+    val x = "CAST(l_quantity AS DECIMAL(14,2))"
+    val y = "CAST(l_extendedprice AS DECIMAL(14,2))"
+    s"""SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       |  round((n * sxx - sx * sx) / (n * n), 6) AS var_qty,
+       |  round(sqrt((n * sxx - sx * sx) / (n * n)), 6) AS stddev_qty,
+       |  round((n * sxy - sx * sy)
+       |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 8) AS corr_qty_price
+       |FROM (
+       |  SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum($x) AS DOUBLE) AS sx,
+       |    CAST(sum($x * $x) AS DOUBLE) AS sxx,
+       |    CAST(sum($y) AS DOUBLE) AS sy,
+       |    CAST(sum($y * $y) AS DOUBLE) AS syy,
+       |    CAST(sum($x * $y) AS DOUBLE) AS sxy
+       |  FROM lineitem GROUP BY l_returnflag) t
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_moment_stats" -> (aggMomentStats _),
     "scan_json_source" -> (scanJsonSource _),
     "win_first_last" -> (winFirstLast _),
     "win_range_interval" -> (winRangeInterval _),
@@ -154,6 +215,7 @@ object Extras2 {
     "agg_salted_skew" -> (aggSaltedSkew _),
   )
   val oracle: Map[String, String] = Map(
+    "agg_moment_stats" -> aggMomentStatsSql,
     "scan_json_source" -> scanJsonSourceSql,
     "win_first_last" -> winFirstLastSql,
     "win_range_interval" -> winRangeIntervalSql,
