@@ -11,9 +11,11 @@ import graft.Tables._
   * decorrelation (RewriteCorrelatedScalarSubquery).
   *
   * Scale shape: facts (lineitem, orders) shuffle only on their join
-  * keys; every dimension is broadcast; aggregations sit above the
-  * joins with map-side combine. This is the canonical plan a
-  * 1000-executor cluster wants for a star-schema rollup.
+  * keys; fixed-size dimensions (nation, region) are broadcast;
+  * scale-factor-dependent tables (customer, supplier) are left to
+  * AQE so they broadcast while small and shuffle once they don't fit;
+  * aggregations sit above the joins with map-side combine. This is
+  * the plan a 1000-executor cluster wants for a star-schema rollup.
   */
 object Analytics {
 
@@ -44,16 +46,24 @@ object Analytics {
        |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin
 
   /** analytics_q5_shape — revenue by nation across the full star
-    * (TPC-H Q5 shape: 6-way join, fact keys shuffled, all five dims
-    * broadcast, aggregate at the top).
+    * (TPC-H Q5 shape: 6-way join, fact keys shuffled, aggregate at
+    * the top).
+    *
+    * Broadcast hints only on the FIXED-cardinality dims (nation=25,
+    * region=5). customer and supplier grow with scale factor — a
+    * forced broadcast() hint overrides autoBroadcastJoinThreshold and
+    * would make the driver materialize multi-GB tables at 100×. They
+    * are left to AQE: auto-broadcast while small, shuffle join once
+    * they outgrow the threshold. PlanSpec asserts no forced-broadcast
+    * hint sits on a scaling table here.
     */
   def analyticsQ5Shape(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
               col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
-      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supplier(s, d)),
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(supplier(s, d),
         col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))

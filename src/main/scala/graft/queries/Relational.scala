@@ -172,15 +172,32 @@ object Relational {
        |FROM lineitem JOIN part ON l_partkey = p_partkey
        |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
-  /** B6 join_left_outer — every customer with null-safe order stats. */
-  def joinLeftOuter(s: SparkSession, d: String): DataFrame =
-    customer(s, d)
-      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
-      .groupBy("c_custkey", "c_name")
+  /** B6 join_left_outer — every customer with null-safe order stats.
+    *
+    * Orders are aggregated to one row per custkey BEFORE the outer
+    * join, so the join's right side is O(customers) not O(orders) and
+    * no post-join re-shuffle/re-aggregation exists. Aggregate-below-
+    * outer-join is the shape that survives 100×: the orders shuffle is
+    * a map-side-combined group-by, and the join carries only the
+    * per-customer summaries. Customers without orders fall out as
+    * nulls and are coalesced to 0 — identical to grouping the raw
+    * joined rows (count over nulls = 0).
+    */
+  def joinLeftOuter(s: SparkSession, d: String): DataFrame = {
+    val ordAgg = orders(s, d)
+      .groupBy("o_custkey")
       .agg(
-        count(col("o_orderkey")).as("order_cnt"),
-        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+        count(lit(1)).as("ord_cnt"),
+        dsum(col("o_totalprice")).as("ord_total"))
+    customer(s, d)
+      .join(ordAgg, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(
+        col("c_custkey"),
+        col("c_name"),
+        coalesce(col("ord_cnt"), lit(0L)).as("order_cnt"),
+        coalesce(col("ord_total"), lit(0.0)).as("total_spent"))
       .orderBy("c_custkey")
+  }
   val joinLeftOuterSql: String =
     s"""SELECT c_custkey, c_name, count(o_orderkey) AS order_cnt,
        |  coalesce(${dsumSql("o_totalprice")}, 0.0) AS total_spent

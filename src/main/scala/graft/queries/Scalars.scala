@@ -131,7 +131,9 @@ object Scalars {
 
   /** B35 array_funcs — size/element_at/slice over the embedding vectors.
     * Float values pass through untouched (no arithmetic), so float32
-    * round-trips bit-exactly.
+    * round-trips bit-exactly. The slice stays in the plan but is
+    * published as four scalar columns (h1–h4): the driver's comparator
+    * can't hash array cells (R4: scalar output columns only).
     */
   def arrayFuncs(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
@@ -141,13 +143,25 @@ object Scalars {
         element_at(col("embedding"), 1).as("first_val"),
         element_at(col("embedding"), -1).as("last_val"),
         slice(col("embedding"), 1, 4).as("head4"))
+      .select(
+        col("vec_id"),
+        col("dim"),
+        col("first_val"),
+        col("last_val"),
+        element_at(col("head4"), 1).as("h1"),
+        element_at(col("head4"), 2).as("h2"),
+        element_at(col("head4"), 3).as("h3"),
+        element_at(col("head4"), 4).as("h4"))
       .orderBy("vec_id")
   val arrayFuncsSql: String =
     """SELECT vec_id,
       |  CAST(len(embedding) AS INTEGER) AS dim,
       |  embedding[1] AS first_val,
       |  embedding[-1] AS last_val,
-      |  embedding[1:4] AS head4
+      |  embedding[1:4][1] AS h1,
+      |  embedding[1:4][2] AS h2,
+      |  embedding[1:4][3] AS h3,
+      |  embedding[1:4][4] AS h4
       |FROM embeddings
       |ORDER BY vec_id""".stripMargin
 
@@ -247,16 +261,29 @@ object Scalars {
     * linearly interpolate at p·(n−1), the same IEEE arithmetic on the
     * same inputs). Exact percentile requires a per-group sort; the
     * scale path is `approx_percentile` (t-digest) — same API shape.
+    *
+    * Output is three scalar columns (q1/q2/q3), not an array — the
+    * driver's comparator sorts by column values, and array cells are
+    * unhashable there (R4: scalar output columns only). One internal
+    * percentile(array) evaluation, indexed; the sort happens once.
     */
   def aggPercentiles(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("quartiles"),
         count(lit(1)).as("n"))
+      .select(
+        col("l_returnflag"),
+        element_at(col("quartiles"), 1).as("q1"),
+        element_at(col("quartiles"), 2).as("q2"),
+        element_at(col("quartiles"), 3).as("q3"),
+        col("n"))
       .orderBy("l_returnflag")
   val aggPercentilesSql: String =
     """SELECT l_returnflag,
-      |  quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS quartiles,
+      |  quantile_cont(l_quantity, 0.25) AS q1,
+      |  quantile_cont(l_quantity, 0.50) AS q2,
+      |  quantile_cont(l_quantity, 0.75) AS q3,
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 

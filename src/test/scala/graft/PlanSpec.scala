@@ -49,6 +49,28 @@ class PlanSpec extends SparkSpec {
            plan(LlmOps.simTopkCosine(spark, sf)).contains("BroadcastExchange"))
   }
 
+  test("analytics_q5_shape forces no broadcast hint on scaling tables") {
+    // nation/region (fixed cardinality) may be hinted; customer/supplier
+    // grow with scale factor and must be left to AQE's own selection —
+    // a forced hint overrides the size threshold and OOMs the driver at
+    // 100×. Assert at the analyzed-plan level: every ResolvedHint
+    // subtree may touch only the fixed dims.
+    val df = graft.queries.Analytics.analyticsQ5Shape(spark, sf)
+    val hinted = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    val scaling = Seq("c_custkey", "s_suppkey", "l_orderkey", "o_orderkey")
+    hinted.foreach { h =>
+      val cols = h.output.map(_.name).toSet
+      assert(!scaling.exists(cols.contains),
+        s"broadcast hint forced on a scaling table: ${cols.mkString(",")}")
+    }
+    // left-outer pre-agg shape: orders aggregated before the join
+    val lo = plan(Relational.joinLeftOuter(spark, sf))
+    assert("HashAggregate".r.findAllIn(lo).size >= 2,
+      s"join_left_outer lost its pre-join aggregation:\n$lo")
+  }
+
   test("sink_partitioned_prune prunes partitions at the scan") {
     val df = Relational.sinkPartitionedPrune(spark, sf)
     val p = plan(df)
