@@ -60,24 +60,25 @@ object LlmOps {
     * scalatest suite plants near-duplicates and asserts they surface.
     *
     * Pipeline (all narrow until the band-key join):
-    *  1. per-doc distinct 3-token shingles;
-    *  2. 16 minhashes: min over shingles of xxhash64(seed_j ++ shingle);
-    *  3. 4 LSH bands × 4 rows → band key = hash(band idx, 4 sig values);
+    *  1. per-doc distinct 3-token shingle hashes — ONE codegen'd pass
+    *     over the text bytes ([[graft.functions.ShingleHash3]]; the
+    *     interpreted transform/slice/concat_ws chain it replaced was
+    *     the whole query's cost, ~15 s for 500 docs);
+    *  2. 16 minhashes over the shingle hashes (codegen'd min loop,
+    *     [[graft.functions.MinHash16]]);
+    *  3. 4 LSH bands × 4 rows → band key = concat(band idx, 4 sig values);
     *  4. equi-join on band key (a < b) → candidate pairs;
-    *  5. exact Jaccard on the two shingle sets, keep ≥ 0.5.
+    *  5. exact Jaccard on the two shingle-hash sets, keep ≥ 0.5
+    *     (64-bit hashes: set identity ≡ string-shingle identity).
     */
   def dedupMinhashNear(s: SparkSession, d: String): DataFrame = {
+    graft.functions.ShingleHash3.register(s)
     graft.functions.MinHash16.register(s)
     val docs = documents(s, d)
-      .select(col("doc_id"), col("text"))
-      .withColumn("sh", array_distinct(expr(
-        """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
-          |  i -> concat_ws(' ', slice(split(text, ' '), i, 3)))""".stripMargin)))
-    // one cheap HOF pass hashes each shingle; the 16-family min loop
-    // runs in the codegen'd native expression (see MinHash16 Scaladoc)
+      .select(col("doc_id"),
+        expr(s"${graft.functions.ShingleHash3.name}(text)").as("sh"))
     val sigs = docs
-      .withColumn("hs", expr("transform(sh, t -> xxhash64(t))"))
-      .withColumn("sig", expr(s"${graft.functions.MinHash16.name}(hs)"))
+      .withColumn("sig", expr(s"${graft.functions.MinHash16.name}(sh)"))
     val bands = sigs.select(
       col("doc_id"),
       explode(expr(

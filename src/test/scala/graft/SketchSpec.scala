@@ -70,6 +70,22 @@ class SketchSpec extends SparkSpec {
     assert(rows.get((3L, 4L)).contains(0), s"planted shuffled pair (3,4) not at hamming 0: $rows")
   }
 
+  test("dedup_embed_cosine candidate route reproduces the exact all-pairs result") {
+    val viaCandidates = DedupExtras.dedupEmbedCosine(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val allPairs = DedupExtras.dedupEmbedCosineAllPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaCandidates == allPairs,
+      s"candidate route diverges: missing=${allPairs -- viaCandidates}, extra=${viaCandidates -- allPairs}")
+    // and the plan really is candidate-based: no nested-loop join over
+    // the full corpus cross product (the only BNLJ allowed is the
+    // 64-row centroid broadcast)
+    val p = DedupExtras.dedupEmbedCosine(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin Inner, ((vec_a"),
+      s"all-pairs nested loop still in plan:\n$p")
+  }
+
   test("sim_topk_ivf: exact sims, sorted, and recall >= 0.3 vs brute force") {
     val exact = LlmOps.simTopkCosine(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
