@@ -2,11 +2,12 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BinaryExpression, EqualTo, Expression, ExpressionInfo, Literal, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, BinaryExpression, EqualTo, Expression, ExpressionInfo, Literal, PredicateHelper}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.plans.LeftSemi
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,21 +22,32 @@ import org.apache.spark.unsafe.types.UTF8String
   *  2. [[TextIndex.build]] — the (token, id) inverted index as a
   *     Parquet table (at scale: bucketed by token).
   *  3. [[TextIndexSearchRule]] — a `Rule[LogicalPlan]` that rewrites
-  *     `Filter(graft_text_search(text, 'term'), corpus)` into a
-  *     LeftSemi join against the index, so the text column itself is
-  *     never scanned for the filter.
+  *     `Filter(graft_text_search(text, 'term'), corpus)` into LeftSemi
+  *     joins against the index, so the text column itself is never
+  *     scanned for the filter.
   *
   * Semantics preservation: the corpus tokenizer splits on ' ', so any
-  * substring of the raw text that spans a token boundary must contain
-  * a space. Hence for SPACE-FREE terms, `text contains term` ⇔ `some
-  * token contains term`, and the rewrite (index token filtered with
-  * contains, semi-joined on id) is exact. Terms with spaces are left
-  * to the scan path — the rule simply doesn't fire.
+  * occurrence of a search term aligns its own spaces with the text's
+  * token delimiters. Hence each space-separated PART of the term is a
+  * substring of a single token of a matching document:
+  *  - space-free term → `text contains term` ⇔ `some token contains
+  *    term`; the semi-join is exact and the predicate is dropped;
+  *  - multi-token phrase → every part token-contained is NECESSARY but
+  *    not sufficient (it ignores adjacency); the rule intersects the
+  *    per-part id sets via chained semi-joins and keeps the original
+  *    predicate as an exact contains-verify over the candidates only.
+  *    At 100 TB this turns a full text scan into |candidate| substring
+  *    checks behind index lookups.
+  *
+  * Scoping: the rewrite fires only for the column the index was built
+  * over (`textColConf`) — `graft_text_search(lang, 'en')` or a
+  * same-named id column on another table stays a scan predicate.
   */
 object TextIndex {
 
   val pathConf = "spark.graft.textIndex.path"
   val idColConf = "spark.graft.textIndex.idCol"
+  val textColConf = "spark.graft.textIndex.textCol"
 
   /** Build the inverted index: one (token, id) row per distinct token
     * per document. At 100 TB: `.bucketBy(N, "token")` into a table so
@@ -48,15 +60,17 @@ object TextIndex {
       .write.mode("overwrite").parquet(path)
 
   /** Enable the rewrite on a session: registers the expression, points
-    * the rule at an index, and (idempotently) installs the rule via
-    * the public experimental-optimizations hook. A library deployment
-    * would do the same through `SparkSessionExtensions.injectFunction`
-    * / `injectOptimizerRule`.
+    * the rule at an index (recording WHICH column it indexes), and
+    * (idempotently) installs the rule via the public experimental-
+    * optimizations hook. A library deployment would do the same through
+    * `SparkSessionExtensions.injectFunction` / `injectOptimizerRule`.
     */
-  def enable(spark: SparkSession, indexPath: String, idCol: String): Unit = {
+  def enable(spark: SparkSession, indexPath: String, idCol: String,
+      textCol: String = "text"): Unit = {
     registerFunction(spark)
     spark.conf.set(pathConf, indexPath)
     spark.conf.set(idColConf, idCol)
+    spark.conf.set(textColConf, textCol)
     val existing = spark.experimental.extraOptimizations
     if (!existing.exists(_.isInstanceOf[TextIndexSearchRule]))
       spark.experimental.extraOptimizations = existing :+ TextIndexSearchRule(spark)
@@ -98,13 +112,20 @@ case class GraftTextSearch(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Rewrite `graft_text_search(textAttr, 'term')` conjuncts into
+/** Rewrite `graft_text_search(textCol, 'term')` conjuncts into
   * LeftSemi joins against the inverted index. Fires only when the
-  * session confs point at an index, the filter child exposes the id
-  * column, and the term is space-free (see semantics note above).
+  * session confs point at an index, the searched attribute IS the
+  * indexed column, and the filter child exposes the id column. Phrases
+  * keep an exact residual verify (see semantics note on [[TextIndex]]).
   */
 case class TextIndexSearchRule(spark: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** Marks Filters this rule already produced, so the fixed-point
+    * optimizer batch doesn't re-expand a phrase's residual predicate
+    * into ever more semi-joins on the next iteration.
+    */
+  private val rewrittenTag = TreeNodeTag[Boolean]("graft.textIndex.rewritten")
 
   private def indexPlanFor(term: String): Option[(LogicalPlan, Attribute)] = {
     val path = spark.conf.getOption(TextIndex.pathConf).getOrElse(return None)
@@ -119,28 +140,42 @@ case class TextIndexSearchRule(spark: SparkSession)
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (spark.conf.getOption(TextIndex.pathConf).isEmpty) return plan
     val idCol = spark.conf.get(TextIndex.idColConf, "doc_id")
+    val textCol = spark.conf.get(TextIndex.textColConf, "text")
     plan.transform {
-      case f @ Filter(cond, child) if child.output.exists(_.name == idCol) =>
+      case f @ Filter(cond, child)
+          if f.getTagValue(rewrittenTag).isEmpty &&
+             child.output.exists(_.name == idCol) =>
         val childId = child.output.find(_.name == idCol).get
         val conjuncts = splitConjunctivePredicates(cond)
         val (rewritable, rest) = conjuncts.partition {
-          case GraftTextSearch(_: Attribute, Literal(t, StringType))
-            if t != null && !t.toString.contains(" ") => true
+          case GraftTextSearch(a: Attribute, Literal(t, StringType))
+            if t != null && t.toString.trim.nonEmpty && a.name == textCol => true
           case _ => false
         }
         if (rewritable.isEmpty) f
         else {
           var newChild: LogicalPlan = child
-          rewritable.foreach { case GraftTextSearch(_, Literal(term, _)) =>
-            indexPlanFor(term.toString) match {
-              case Some((idx, idxId)) =>
-                newChild = Join(newChild, idx, LeftSemi,
-                  Some(EqualTo(childId, idxId)), JoinHint.NONE)
-              case None => ()
+          val residual = scala.collection.mutable.ArrayBuffer.empty[Expression]
+          rewritable.foreach { case g @ GraftTextSearch(_, Literal(term, _)) =>
+            val parts = term.toString.toLowerCase.split(' ').filter(_.nonEmpty)
+            var joined = false
+            parts.foreach { p =>
+              indexPlanFor(p) match {
+                case Some((idx, idxId)) =>
+                  newChild = Join(newChild, idx, LeftSemi,
+                    Some(EqualTo(childId, idxId)), JoinHint.NONE)
+                  joined = true
+                case None => ()
+              }
             }
+            // single space-free token: token-contains ⇔ text-contains,
+            // predicate dropped. Phrase: candidates only — verify.
+            if (!joined || parts.length > 1) residual += g
           }
-          rest.reduceOption(org.apache.spark.sql.catalyst.expressions.And)
+          val out = (rest ++ residual).reduceOption(And)
             .map(Filter(_, newChild)).getOrElse(newChild)
+          out.setTagValue(rewrittenTag, true)
+          out
         }
     }
   }

@@ -212,7 +212,86 @@ object RefSurface {
       |WHERE rn > 20 AND rn <= 40
       |ORDER BY rn""".stripMargin
 
+  /** The product-group membership table (A11): group → attribute
+    * names, the analogue of the reference's static product-groups
+    * resource file. Broadcast-sized by construction at any corpus
+    * scale (a config file, not data).
+    */
+  private val productGroups: Seq[(String, Seq[String])] = Seq(
+    "joins" -> Seq("join", "merge", "broadcast", "probe"),
+    "storage" -> Seq("parquet", "disk", "memory", "spill"),
+    "exec" -> Seq("scan", "aggregation", "exchange", "codegen"))
+
+  /** ref_product_groups — A11 pgroup membership: which documents carry
+    * attributes of which product groups. The per-doc attribute list is
+    * its distinct token set; membership is an equi-join of exploded
+    * tokens against the broadcast (group, attr) table — the shape that
+    * replaces arrays_overlap at scale (narrow explode, broadcast hash
+    * join on the token, per-doc re-aggregation; the fact side shuffles
+    * once on doc_id with map-side combine). Output publishes the
+    * matched group set as a sorted CSV string (R4: scalar columns).
+    */
+  def refProductGroups(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ga = productGroups
+      .flatMap { case (g, attrs) => attrs.map(a => (g, a)) }
+      .toDF("grp", "attr")
+    documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
+      .join(broadcast(ga), col("tok") === col("attr"))
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(",", array_sort(collect_set(col("grp")))).as("groups"),
+        count(lit(1)).as("n_attr_hits"))
+      .orderBy("doc_id")
+  }
+  val refProductGroupsSql: String = {
+    val values = productGroups
+      .flatMap { case (g, attrs) => attrs.map(a => s"('$g', '$a')") }
+      .mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+       |  FROM documents),
+       |ga(grp, attr) AS (VALUES $values)
+       |SELECT doc_id,
+       |  array_to_string(list_sort(list_distinct(list(grp))), ',') AS groups,
+       |  count(*) AS n_attr_hits
+       |FROM toks JOIN ga ON tok = attr
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** page_keyset — the scale-safe A13 pagination beside
+    * [[pageOffsetLimit]]: a keyset cursor page. The client passes the
+    * last-seen (c_acctbal, c_custkey); the next page is a tuple-
+    * compare filter + top-20, which plans as a pushed filter under
+    * TakeOrderedAndProject — no global window, no single-partition
+    * sort, same cost for page 1 and page 1,000,000.
+    */
+  def pageKeyset(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .filter(col("c_acctbal") < 5000.0 ||
+        (col("c_acctbal") === 5000.0 && col("c_custkey") > 123))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      .limit(20)
+  val pageKeysetSql: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE c_acctbal < 5000.0 OR (c_acctbal = 5000.0 AND c_custkey > 123)
+      |ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 20""".stripMargin
+
   private val indexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build (once per sfDir) and enable the inverted text index. */
+  private def enableTextIndex(s: SparkSession, d: String): Unit = {
+    val idxPath = indexCache.computeIfAbsent(d, dir => {
+      val p = Files.createTempDirectory("graft_tidx_").toString
+      graft.plans.TextIndex.build(documents(s, dir), "doc_id", "text", p)
+      p
+    })
+    graft.plans.TextIndex.enable(s, idxPath, "doc_id", "text")
+  }
 
   /** ref_text_index_search — A3 at scale: the `graft_text_search`
     * predicate rewritten by [[graft.plans.TextIndexSearchRule]] into a
@@ -222,12 +301,7 @@ object RefSurface {
     * PlanSpec asserts the semi-join actually fires.
     */
   def refTextIndexSearch(s: SparkSession, d: String): DataFrame = {
-    val idxPath = indexCache.computeIfAbsent(d, dir => {
-      val p = Files.createTempDirectory("graft_tidx_").toString
-      graft.plans.TextIndex.build(documents(s, dir), "doc_id", "text", p)
-      p
-    })
-    graft.plans.TextIndex.enable(s, idxPath, "doc_id")
+    enableTextIndex(s, d)
     documents(s, d)
       .filter(expr(s"${graft.plans.TextIndex.name}(text, 'merge')") &&
               col("n_chars") > 100)
@@ -239,20 +313,45 @@ object RefSurface {
       |WHERE lower(text) LIKE '%merge%' AND n_chars > 100
       |ORDER BY doc_id""".stripMargin
 
+  /** ref_text_phrase_search — multi-token phrase through the index
+    * path: the rule semi-joins the per-token id sets ('merge' ∩ 'join'
+    * candidates) and keeps the contains predicate as an exact verify
+    * over candidates only — adjacency is checked on the pruned set,
+    * never via a full text scan. PlanSpec asserts both semi-joins fire
+    * and the result matches the pure scan formulation.
+    */
+  def refTextPhraseSearch(s: SparkSession, d: String): DataFrame = {
+    enableTextIndex(s, d)
+    documents(s, d)
+      .filter(expr(s"${graft.plans.TextIndex.name}(text, 'merge join')"))
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+  val refTextPhraseSearchSql: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE lower(text) LIKE '%merge join%'
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ref_seabass_ingest" -> (refSeabassIngest _),
     "ref_validation_report" -> (refValidationReport _),
     "ref_geo_filter" -> (refGeoFilter _),
     "ref_text_index_search" -> (refTextIndexSearch _),
+    "ref_text_phrase_search" -> (refTextPhraseSearch _),
+    "ref_product_groups" -> (refProductGroups _),
     "store_merge_upsert" -> (storeMergeUpsert _),
     "page_offset_limit" -> (pageOffsetLimit _),
+    "page_keyset" -> (pageKeyset _),
   )
   val oracle: Map[String, String] = Map(
     "ref_seabass_ingest" -> refSeabassIngestSql,
     "ref_validation_report" -> refValidationReportSql,
     "ref_geo_filter" -> refGeoFilterSql,
     "ref_text_index_search" -> refTextIndexSearchSql,
+    "ref_text_phrase_search" -> refTextPhraseSearchSql,
+    "ref_product_groups" -> refProductGroupsSql,
     "store_merge_upsert" -> storeMergeUpsertSql,
     "page_offset_limit" -> pageOffsetLimitSql,
+    "page_keyset" -> pageKeysetSql,
   )
 }

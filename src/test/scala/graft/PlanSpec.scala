@@ -91,4 +91,33 @@ class PlanSpec extends SparkSpec {
       .count()
     assert(df.count() == expected)
   }
+
+  test("ref_text_phrase_search: per-token semi-joins + exact verify on candidates") {
+    import org.apache.spark.sql.functions.{col, expr, lower}
+    val df = graft.queries.RefSurface.refTextPhraseSearch(spark, sf)
+    val p = plan(df)
+    // both token id-set semi-joins fire...
+    assert("LeftSemi".r.findAllIn(p).size >= 2,
+      s"expected one semi-join per phrase token:\n$p")
+    // ...and the exact contains-verify survives as a residual filter
+    assert(p.toLowerCase.contains("grafttextsearch"),
+      s"phrase verify predicate missing from plan:\n$p")
+    val expected = graft.Tables.documents(spark, sf)
+      .filter(lower(col("text")).contains("merge join")).count()
+    assert(df.count() == expected, "phrase rewrite changed the result")
+  }
+
+  test("text-index rule leaves non-indexed columns to the scan path") {
+    import org.apache.spark.sql.functions.{col, expr, lower}
+    graft.queries.RefSurface.refTextIndexSearch(spark, sf).count() // ensures index enabled
+    val df = graft.Tables.documents(spark, sf)
+      .filter(expr(s"${graft.plans.TextIndex.name}(lang, 'en')"))
+      .select("doc_id")
+    val p = plan(df)
+    assert(!p.contains("graft_tidx_"),
+      s"rule rewrote a search on a non-indexed column via the text index:\n$p")
+    val expected = graft.Tables.documents(spark, sf)
+      .filter(lower(col("lang")).contains("en")).count()
+    assert(df.count() == expected)
+  }
 }
