@@ -31,10 +31,9 @@ object DedupExtras {
        |    i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)),
        |    (x, y) -> x + y)""".stripMargin
 
-  /** Distinct 3-token shingle array of a text column. */
-  private val shinglesExpr =
-    """array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
-      |  i -> concat_ws(' ', slice(split(text, ' '), i, 3))))""".stripMargin
+  // (the interpreted string-shingle HOF chain previously here moved to
+  // graft.functions.ShingleHash3 — one codegen'd pass; Jaccard over the
+  // hashed shingle sets is identical to Jaccard over the strings)
 
   /** dedup_ngram_jaccard — exact pairwise 3-gram Jaccard ≥ 0.6. This is
     * the ground truth B41's MinHash approximates (28 pairs in the
@@ -49,10 +48,17 @@ object DedupExtras {
     * division. At 100 TB the one refinement needed is dropping
     * ubiquitous shingles (document-frequency cap) before the self-join
     * — the classic prefix-filter — which changes no ≥0.6 result.
+    *
+    * Shingles are 64-bit hashes from the codegen'd [[graft.functions.ShingleHash3]]
+    * (|A∩B| and |A∪B| over hashed sets ≡ over string sets, and the
+    * self-join's key becomes a long instead of a rebuilt string); the
+    * oracle keeps the independent string formulation.
     */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    graft.functions.ShingleHash3.register(s)
     val sh = documents(s, d)
-      .select(col("doc_id"), explode(expr(shinglesExpr)).as("shingle"))
+      .select(col("doc_id"),
+        explode(expr(s"${graft.functions.ShingleHash3.name}(text)")).as("shingle"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")

@@ -21,10 +21,14 @@ import graft.Tables
   * only advances between micro-batches — so the windows near the end of
   * a finite replay would be withheld forever. Each replay dir therefore
   * ends with two far-future sentinel files (user_id < 0, +2d/+3d past
-  * the real data) and maxFilesPerTrigger=1: the sentinel batches push
-  * the watermark beyond every real event and force a final state
-  * eviction. Sentinel rows/windows are filtered from the returned frame.
-  * At production scale the same plans run unmodified on a live source —
+  * the real data): all files ride in ONE trigger, the end-of-batch
+  * watermark then covers every real event, and the trailing no-data
+  * micro-batch (`spark.sql.streaming.noDataMicroBatches.enabled`,
+  * default on, honored by AvailableNow) evicts and emits all state —
+  * two batches total instead of one per file. Sentinel rows/windows are
+  * filtered from the returned frame. Replay dirs are staged once per
+  * (sfDir, shape) and cached across queries/runs in the JVM. At
+  * production scale the same plans run unmodified on a live source —
   * the sentinels are purely a finite-replay harness device.
   *
   * State-size notes (100 TB design): every stateful operator here keys
@@ -42,17 +46,29 @@ object Streaming {
     s.read.parquet(s"$d/events.parquet").schema
   }
 
+  private val maxTsCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val stageCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Max event ts in nanos — bound for sentinel placement + filters. */
-  private[graft] def maxTsNanos(s: SparkSession, d: String): Long = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$d/events.parquet").agg(max(col("ts"))).head().getLong(0)
-  }
+  private[graft] def maxTsNanos(s: SparkSession, d: String): Long =
+    maxTsCache.computeIfAbsent(d, dir => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/events.parquet").agg(max(col("ts"))).head().getLong(0)
+    })
 
   /** Stage a streaming replay dir: `copies`× the real events file, plus
     * (optionally) two far-future sentinel one-row files, with strictly
-    * increasing mtimes so the file source processes them in order.
+    * increasing mtimes so the file source processes them in order when
+    * a maxFilesPerTrigger cap is applied. Cached per (sfDir, shape) —
+    * pass `cached = false` for a private dir the caller will mutate.
     */
-  private[graft] def stageDir(s: SparkSession, d: String, copies: Int, sentinels: Boolean): String = {
+  private[graft] def stageDir(s: SparkSession, d: String, copies: Int, sentinels: Boolean,
+      cached: Boolean = true): String =
+    if (cached) stageCache.computeIfAbsent(s"$d|$copies|$sentinels",
+      _ => buildStageDir(s, d, copies, sentinels))
+    else buildStageDir(s, d, copies, sentinels)
+
+  private def buildStageDir(s: SparkSession, d: String, copies: Int, sentinels: Boolean): String = {
     val dir = Files.createTempDirectory(s"graft_stream_${ctr.incrementAndGet()}_")
     val src = Paths.get(s"$d/events.parquet")
     val t0 = System.currentTimeMillis() - 120000
@@ -82,14 +98,18 @@ object Streaming {
   }
 
   /** File-source stream of events with event-time `ets` (µs, matching
-    * Tables.events / DuckDB's ns→µs truncation).
+    * Tables.events / DuckDB's ns→µs truncation). By default all files
+    * ride in one trigger (see watermark-flush note above); pass
+    * `maxFilesPerTrigger` to force batch-per-file replay, e.g. for
+    * late-data scenarios that need the watermark to advance mid-replay.
     */
-  private[graft] def eventStream(s: SparkSession, dir: String, sch: StructType): DataFrame =
-    s.readStream
-      .schema(sch)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
+  private[graft] def eventStream(s: SparkSession, dir: String, sch: StructType,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = s.readStream.schema(sch)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    reader.parquet(dir)
       .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+  }
 
   /** Run a streaming frame to completion (AvailableNow) into a memory
     * sink and return the sink contents as a batch DataFrame.

@@ -36,13 +36,17 @@ class StreamingSpec extends SparkSpec {
     // real event time) -> a LATE copy of the same data. The windowed agg
     // already emitted+evicted those windows, so every late row must be
     // dropped; counts equal the single-copy batch aggregate.
+    // cached = false: this test mutates the dir (adds the late file),
+    // which must not leak into the shared replay-dir cache; and the
+    // batch-per-file cap is what makes "late" meaningful — the
+    // watermark has to advance BETWEEN the sentinel and the late copy.
     val sch = Streaming.rawSchema(spark, sf)
-    val dir = Streaming.stageDir(spark, sf, copies = 1, sentinels = true)
+    val dir = Streaming.stageDir(spark, sf, copies = 1, sentinels = true, cached = false)
     val late = Paths.get(dir, "zz-late.parquet")
     Files.copy(Paths.get(s"$sf/events.parquet"), late, StandardCopyOption.REPLACE_EXISTING)
     Files.setLastModifiedTime(late, FileTime.fromMillis(System.currentTimeMillis()))
     val maxNs = Streaming.maxTsNanos(spark, sf)
-    val agg = Streaming.eventStream(spark, dir, sch)
+    val agg = Streaming.eventStream(spark, dir, sch, maxFilesPerTrigger = Some(1))
       .withWatermark("ets", "1 hour")
       .groupBy(window(col("ets"), "1 hour"))
       .agg(count(lit(1)).as("n"))
