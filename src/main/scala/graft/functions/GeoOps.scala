@@ -61,6 +61,10 @@ case class PointInPolygon(child: Expression, vertices: Seq[(Double, Double)])
           s"input must be struct<double,double>, got $other")
     }
 
+  // a non-null struct with a null lon/lat slot still yields null, so
+  // this expression is nullable regardless of the child's nullability
+  override def nullable: Boolean = true
+
   @transient private lazy val xs = vertices.map(_._1).toArray
   @transient private lazy val ys = vertices.map(_._2).toArray
 
@@ -94,20 +98,26 @@ case class PointInPolygon(child: Expression, vertices: Seq[(Double, Double)])
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val inside = ctx.freshName("inside")
+      // mirror nullSafeEval: a null lon/lat slot inside a non-null
+      // struct yields null, not a garbage-0.0 membership test
       s"""
-         |double $px = $pt.getDouble(0);
-         |double $py = $pt.getDouble(1);
-         |boolean $inside = false;
-         |int $j = $xsRef.length - 1;
-         |for (int $i = 0; $i < $xsRef.length; $i++) {
-         |  if ((($ysRef[$i] > $py) != ($ysRef[$j] > $py)) &&
-         |      ($px < ($xsRef[$j] - $xsRef[$i]) * ($py - $ysRef[$i])
-         |              / ($ysRef[$j] - $ysRef[$i]) + $xsRef[$i])) {
-         |    $inside = !$inside;
+         |if ($pt.isNullAt(0) || $pt.isNullAt(1)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $px = $pt.getDouble(0);
+         |  double $py = $pt.getDouble(1);
+         |  boolean $inside = false;
+         |  int $j = $xsRef.length - 1;
+         |  for (int $i = 0; $i < $xsRef.length; $i++) {
+         |    if ((($ysRef[$i] > $py) != ($ysRef[$j] > $py)) &&
+         |        ($px < ($xsRef[$j] - $xsRef[$i]) * ($py - $ysRef[$i])
+         |                / ($ysRef[$j] - $ysRef[$i]) + $xsRef[$i])) {
+         |      $inside = !$inside;
+         |    }
+         |    $j = $i;
          |  }
-         |  $j = $i;
+         |  ${ev.value} = $inside;
          |}
-         |${ev.value} = $inside;
        """.stripMargin
     })
   }

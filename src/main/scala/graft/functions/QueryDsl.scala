@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{NumericType, StructType}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, NumericType, ShortType, StructType}
 
 /** The reference's search-DSL frontend (SURVEY.md §2-A A3–A7, §2-B B50),
   * re-expressed Spark-first: a Lucene-like query string is parsed by a
@@ -175,19 +175,36 @@ object QueryDsl {
   def compile(q: Query, schema: StructType, textColumns: Seq[String]): Column = {
     val numeric: Set[String] =
       schema.fields.collect { case f if f.dataType.isInstanceOf[NumericType] => f.name }.toSet
+    val integral: Set[String] = schema.fields.collect {
+      case f if Seq(ByteType, ShortType, IntegerType, LongType).contains(f.dataType) => f.name
+    }.toSet
     def field(name: String): Column = {
       require(schema.fieldNames.contains(name), s"unknown field '$name' (have: ${schema.fieldNames.mkString(",")})")
       col(name)
     }
+    /** Numeric literal for field `f`: integral fields compare against
+      * long literals (no silent double coercion); a non-numeric value
+      * against a numeric field is a query error reported with context,
+      * like every other parse/compile failure — not a bare
+      * NumberFormatException.
+      */
+    def numLit(f: String, v: String): Column =
+      try {
+        if (integral(f) && !v.contains('.') && !v.contains('e') && !v.contains('E')) lit(v.toLong)
+        else lit(v.toDouble)
+      } catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"non-numeric value '$v' for numeric field '$f'")
+      }
     def go(q: Query): Column = q match {
       case PhraseQuery(p) =>
         textColumns.map(c => lower(col(c)).contains(p.toLowerCase)).reduce(_ || _)
       case FieldValueQuery(f, v) =>
-        if (numeric(f)) field(f) === lit(v.toDouble) else field(f) === lit(v)
+        if (numeric(f)) field(f) === numLit(f, v) else field(f) === lit(v)
       case FieldWildcardQuery(f, p) =>
         field(f).like(likePattern(p, contains = false))
       case FieldRangeQuery(f, lo, hi) =>
-        if (numeric(f)) field(f).between(lit(lo.toDouble), lit(hi.toDouble))
+        if (numeric(f)) field(f).between(numLit(f, lo), numLit(f, hi))
         else field(f).between(lit(lo), lit(hi))
       case BinaryOpQuery("AND", l, r) => go(l) && go(r)
       case BinaryOpQuery("OR", l, r) => go(l) || go(r)

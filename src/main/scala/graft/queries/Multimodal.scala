@@ -59,11 +59,20 @@ object Multimodal {
       .toDF()
       .orderBy("doc_id")
   }
+  /** Oracle mirrors BYTE semantics: sizes via octet_length(encode(..))
+    * — the UTF-8 byte count, exactly what the Spark side's blob length
+    * is — not strlen's codepoint count. first_byte uses ascii() of the
+    * first CHARACTER, which equals the first byte only for ASCII;
+    * MEASURED: the fixture corpus is ASCII-only at every sf (0 docs
+    * with octet_length(encode(text)) <> strlen(text)), so the two
+    * agree here. A non-ASCII corpus would need a blob-indexing
+    * function on the oracle side.
+    */
   val multimodalExtractSql: String =
     """SELECT doc_id,
-      |  CAST(strlen(text) AS INTEGER) AS n_bytes,
-      |  CAST(16 + strlen(text) % 64 AS INTEGER) AS width,
-      |  CAST(16 + (strlen(text) // 64) % 64 AS INTEGER) AS height,
+      |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+      |  CAST(16 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
+      |  CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INTEGER) AS height,
       |  3 AS channels,
       |  CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte
       |FROM documents ORDER BY doc_id""".stripMargin

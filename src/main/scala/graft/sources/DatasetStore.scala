@@ -1,5 +1,10 @@
 package graft.sources
 
+import java.io.File
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, StandardCopyOption}
+import java.util.concurrent.atomic.AtomicLong
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -7,21 +12,70 @@ import org.apache.spark.sql.functions._
   * surface (SURVEY §2-A: UPSTREAM `ocdb/db/mongo_db_driver.py ::
   * add_dataset/update_dataset/delete_dataset`), re-expressed as
   * relational operations. No Delta/Iceberg jars exist in this
-  * environment (SURVEY §7), so upsert = anti-join + union + atomic
-  * directory swap — the same MERGE semantics a Delta `MERGE INTO`
-  * provides, minus the transaction log. At 100 TB the swap becomes a
-  * partition-scoped rewrite (only partitions containing touched keys),
-  * which is exactly how pre-Delta production Parquet pipelines ran.
+  * environment (SURVEY §7), so the store implements the minimal commit
+  * protocol those formats provide: immutable segment directories plus
+  * an atomically-replaced CURRENT manifest listing the live segments.
+  *
+  * Snapshot isolation: data directories are never mutated after
+  * commit; a reader resolves CURRENT once and reads only directories
+  * it names, so it sees exactly one committed snapshot — the manifest
+  * swap is a single atomic file move (no rename window where the store
+  * has no live data, unlike a directory-swap scheme). A failed write
+  * leaves an orphan segment and the old manifest intact. At 100 TB the
+  * same protocol holds with partition-scoped rewrites: upsert rewrites
+  * only segments containing touched keys and the manifest flips once.
   */
 class DatasetStore(spark: SparkSession, path: String, keyCol: String) {
 
-  def read(): DataFrame = spark.read.parquet(path)
+  private val root = new File(path)
+  private val seq = new AtomicLong(0)
+  private def currentFile = new File(root, "CURRENT")
 
-  def init(df: DataFrame): Unit =
-    df.write.mode("overwrite").parquet(path)
+  /** Live segment dirs named by the CURRENT manifest (one per line). */
+  private def segments(): Seq[String] = {
+    require(currentFile.exists, s"store at $path not initialized")
+    new String(Files.readAllBytes(currentFile.toPath), UTF_8)
+      .split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+  }
 
-  def append(df: DataFrame): Unit =
-    df.write.mode("append").parquet(path)
+  def read(): DataFrame =
+    spark.read.parquet(segments().map(s => new File(root, s).toString): _*)
+
+  /** Write one new immutable segment, return its manifest name. */
+  private def writeSegment(df: DataFrame): String = {
+    val name = s"seg_${System.currentTimeMillis()}_${seq.incrementAndGet()}"
+    df.write.mode("overwrite").parquet(new File(root, name).toString)
+    name
+  }
+
+  /** Atomically replace the manifest; prune segments no longer
+    * referenced (best-effort — a failed prune leaks space, never data).
+    */
+  private def commit(segs: Seq[String]): Unit = {
+    root.mkdirs()
+    val before = if (currentFile.exists) segments() else Nil
+    val tmp = new File(root, s"CURRENT.tmp.${seq.incrementAndGet()}")
+    Files.write(tmp.toPath, segs.mkString("\n").getBytes(UTF_8))
+    Files.move(tmp.toPath, currentFile.toPath,
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    (before.toSet -- segs.toSet).foreach { s =>
+      def rmTree(f: File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmTree))
+        f.delete()
+      }
+      rmTree(new File(root, s))
+    }
+  }
+
+  def init(df: DataFrame): Unit = commit(Seq(writeSegment(df)))
+
+  /** Append = a new segment joins the manifest; existing segments are
+    * untouched (no rewrite, no mutation of a live snapshot).
+    */
+  def append(df: DataFrame): Unit = {
+    val seg = writeSegment(df)
+    commit(segments() :+ seg)
+  }
 
   /** MERGE: rows in `updates` replace current rows with the same key;
     * new keys are inserted. Current-side is anti-joined on the update
@@ -29,32 +83,16 @@ class DatasetStore(spark: SparkSession, path: String, keyCol: String) {
     * CRUD case), then unioned with the updates.
     */
   def upsert(updates: DataFrame): Unit = {
-    val current = read()
-    val merged = current.join(
+    val merged = read().join(
         broadcast(updates.select(col(keyCol))), Seq(keyCol), "left_anti")
       .unionByName(updates)
-    writeSwap(merged)
+    commit(Seq(writeSegment(merged)))
   }
 
-  /** DELETE WHERE: keep the complement. */
-  def delete(predicate: Column): Unit =
-    writeSwap(read().filter(!predicate))
-
-  /** Materialize to a staging dir, then swap directories — readers see
-    * either the old or the new snapshot, never a half-written mix.
+  /** DELETE WHERE: keep rows where the predicate is false OR null —
+    * SQL DELETE semantics (a NULL predicate does not delete the row;
+    * a bare `!predicate` filter would silently drop it).
     */
-  private def writeSwap(df: DataFrame): Unit = {
-    val stage = path + ".stage"
-    df.write.mode("overwrite").parquet(stage)
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmTree))
-      f.delete()
-    }
-    val live = new java.io.File(path)
-    val old = new java.io.File(path + ".old")
-    rmTree(old)
-    live.renameTo(old)
-    new java.io.File(stage).renameTo(live)
-    rmTree(old)
-  }
+  def delete(predicate: Column): Unit =
+    commit(Seq(writeSegment(read().filter(not(coalesce(predicate, lit(false)))))))
 }
