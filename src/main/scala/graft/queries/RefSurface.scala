@@ -189,18 +189,22 @@ object RefSurface {
 
   /** page_offset_limit — the A13 pagination contract: a deterministic
     * total order, rows [20, 40) plus the total count as a column (the
-    * reference returns total_count beside the page). row_number over a
-    * global order is the offset form; at scale a keyset cursor
-    * (WHERE key > last_seen LIMIT n) replaces deep offsets.
+    * reference returns total_count beside the page). The global row
+    * number is the two-pass range-partitioned rank
+    * ([[graft.plans.GlobalRank]]) — no single-partition window; the
+    * total count rides in as a broadcast scalar. Deep offsets still
+    * cost a full rank pass by definition — [[pageKeyset]] is the
+    * constant-cost cursor form beside this.
     */
   def pageOffsetLimit(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)
-    customer(s, d)
-      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("total_count", count(lit(1)).over())
+    val base = customer(s, d).select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val rned = graft.plans.GlobalRank.withGlobalRowNumber(
+      base, "rn", Seq(col("c_acctbal").desc, col("c_custkey").asc))
+    val total = base.groupBy().agg(count(lit(1)).as("total_count"))
+    rned
       .filter(col("rn") > 20 && col("rn") <= 40)
+      .crossJoin(broadcast(total))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("rn"), col("total_count"))
       .orderBy("rn")
   }
   val pageOffsetLimitSql: String =

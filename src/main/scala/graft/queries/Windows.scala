@@ -150,19 +150,41 @@ object Windows {
       |ORDER BY day""".stripMargin
 
   /** B24 win_ntile_pct — quartile, percent_rank, cume_dist over customer
-    * account balance. ntile needs a total order (unique tie-break);
-    * percent_rank/cume_dist are tie-stable and computed as one IEEE
-    * double division, identical across engines.
+    * account balance.
+    *
+    * NOT a global single-partition window (the first plan to fall over
+    * at 100×): the global row number comes from the two-pass
+    * range-partitioned rank ([[graft.plans.GlobalRank]]), and every
+    * analytic is derived arithmetically from (rn, n, peer bounds) —
+    * exactly the definitions the window functions implement:
+    *  - ntile(4): Spark's remainder rule — first n%4 buckets hold
+    *    n/4+1 rows — as integer CASE arithmetic on rn;
+    *  - percent_rank = (rank−1)/(n−1) with rank = min rn over the
+    *    acctbal peer group (ties), one IEEE division of exact ints;
+    *  - cume_dist = (max rn over peers)/n.
+    * Peer bounds come from a window PARTITIONED by c_acctbal — a keyed
+    * shuffle, parallel at any scale. Values are bit-identical to the
+    * single-window formulation (the oracle still uses it).
     */
   def winNtilePct(s: SparkSession, d: String): DataFrame = {
-    val byBal   = Window.orderBy(col("c_acctbal").asc)
-    val byBalUk = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
-    customer(s, d)
+    val base = customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+    val rned = graft.plans.GlobalRank.withGlobalRowNumber(
+      base, "rn", Seq(col("c_acctbal").asc, col("c_custkey").asc))
+    val total = rned.groupBy().agg(count(lit(1)).as("n"))
+    val peers = Window.partitionBy("c_acctbal")
+    rned.crossJoin(broadcast(total))
+      .withColumn("_rank", min(col("rn")).over(peers))
+      .withColumn("_peer_max", max(col("rn")).over(peers))
+      .withColumn("_nb", expr("n div 4"))
+      .withColumn("_rem", expr("n % 4"))
+      .withColumn("_thr", expr("_rem * (_nb + 1)"))
       .select(
         col("c_custkey"), col("c_acctbal"),
-        ntile(4).over(byBalUk).cast("long").as("quartile"),
-        percent_rank().over(byBal).as("pct_rank"),
-        cume_dist().over(byBal).as("cdist"))
+        expr("""CAST(CASE WHEN rn <= _thr THEN (rn - 1) div (_nb + 1) + 1
+                |          ELSE _rem + (rn - 1 - _thr) div _nb + 1 END AS BIGINT)"""
+          .stripMargin).as("quartile"),
+        ((col("_rank") - 1).cast("double") / (col("n") - 1)).as("pct_rank"),
+        (col("_peer_max").cast("double") / col("n")).as("cdist"))
       .orderBy("c_custkey")
   }
   val winNtilePctSql: String =

@@ -71,6 +71,27 @@ class PlanSpec extends SparkSpec {
       s"join_left_outer lost its pre-join aggregation:\n$lo")
   }
 
+  test("global ranks are two-pass range-partitioned, not single-partition windows") {
+    // the only single-partition work allowed is the <=32-row partition-
+    // offset prefix sum; the customer-sized flow must go through range
+    // partitioning + a partitioned local window
+    for (df <- Seq(graft.queries.Windows.winNtilePct(spark, sf),
+                   graft.queries.RefSurface.pageOffsetLimit(spark, sf))) {
+      val p = plan(df)
+      // every row_number window must be partitioned by the range-
+      // partition id (the local rank), never a global window
+      p.linesIterator.filter(_.contains("row_number()")).foreach { l =>
+        assert(l.contains("_grank_pid"),
+          s"unpartitioned row_number window in plan line:\n$l\n$p")
+      }
+      // and none of the analytic window functions survive as windows —
+      // they are derived arithmetically from rn/n/peer bounds
+      for (fn <- Seq("ntile(", "percent_rank(", "cume_dist(")) {
+        assert(!p.contains(fn), s"global $fn window still in plan:\n$p")
+      }
+    }
+  }
+
   test("sink_partitioned_prune prunes partitions at the scan") {
     val df = Relational.sinkPartitionedPrune(spark, sf)
     val p = plan(df)
