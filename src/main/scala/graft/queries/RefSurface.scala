@@ -285,6 +285,104 @@ object RefSurface {
       |WHERE c_acctbal < 5000.0 OR (c_acctbal = 5000.0 AND c_custkey > 123)
       |ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 20""".stripMargin
 
+  /** ref_submission_status — the A16 submission workflow state machine
+    * (SUBMITTED → VALIDATED → {APPROVED → PUBLISHED | CANCELED}) as a
+    * relational fold. A deterministic per-submission transition history
+    * is synthesized from orders (each order = one submission; its
+    * status/priority decide how far the workflow ran), then:
+    *  - current state = max_by(status, seq) — the "latest event wins"
+    *    fold, a map-side-combinable aggregation, NOT a window sort;
+    *  - transition legality is CHECKED (not assumed) with a lag over
+    *    (submission, seq) — a keyed window, parallel at any scale —
+    *    against the legal-edge set; illegal count rolls up per state.
+    * Output: per final state, submission count, event count, illegal-
+    * transition count. The oracle derives the same facts in closed
+    * form from each order's columns.
+    */
+  def refSubmissionStatus(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isCancel = col("o_orderstatus") === "O" && col("o_orderpriority") === "5-LOW"
+    val ev = orders(s, d)
+      .select(col("o_orderkey").as("sub_id"),
+        explode(array(
+          struct(lit(1).as("seq"), lit("SUBMITTED").as("st")),
+          struct(lit(2).as("seq"), lit("VALIDATED").as("st")),
+          struct(lit(3).as("seq"),
+            when(isCancel, lit("CANCELED"))
+              .when(col("o_orderstatus").isin("F", "P"), lit("APPROVED"))
+              .otherwise(lit(null).cast("string")).as("st")),
+          struct(lit(4).as("seq"),
+            when(col("o_orderstatus") === "F", lit("PUBLISHED"))
+              .otherwise(lit(null).cast("string")).as("st")))).as("e"))
+      .select(col("sub_id"), col("e.seq").as("seq"), col("e.st").as("st"))
+      .filter(col("st").isNotNull)
+    val legal = Seq("SUBMITTED>VALIDATED", "VALIDATED>APPROVED",
+      "VALIDATED>CANCELED", "APPROVED>PUBLISHED")
+    val w = Window.partitionBy("sub_id").orderBy("seq")
+    ev.withColumn("prev", lag(col("st"), 1).over(w))
+      .withColumn("illegal",
+        when(col("prev").isNotNull &&
+          !concat(col("prev"), lit(">"), col("st")).isin(legal: _*), 1L).otherwise(0L))
+      .groupBy("sub_id")
+      .agg(
+        max_by(col("st"), col("seq")).as("status"),
+        count(lit(1)).as("n_ev"),
+        sum(col("illegal")).as("n_illegal"))
+      .groupBy("status")
+      .agg(
+        count(lit(1)).as("n_subs"),
+        sum(col("n_ev")).as("n_events"),
+        sum(col("n_illegal")).as("n_illegal"))
+      .orderBy("status")
+  }
+  val refSubmissionStatusSql: String =
+    """SELECT status, count(*) AS n_subs,
+      |  CAST(sum(n_ev) AS BIGINT) AS n_events,
+      |  CAST(0 AS BIGINT) AS n_illegal
+      |FROM (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderstatus = 'F' THEN 'PUBLISHED'
+      |         WHEN o_orderstatus = 'P' THEN 'APPROVED'
+      |         WHEN o_orderpriority = '5-LOW' THEN 'CANCELED'
+      |         ELSE 'VALIDATED' END AS status,
+      |    CASE WHEN o_orderstatus = 'F' THEN 4
+      |         WHEN o_orderstatus = 'P' THEN 3
+      |         WHEN o_orderpriority = '5-LOW' THEN 3
+      |         ELSE 2 END AS n_ev
+      |  FROM orders) t
+      |GROUP BY status ORDER BY status""".stripMargin
+
+  /** ref_geojson_export — the A14 GeoJSON locations projection on
+    * search results: events in a bbox published as GeoJSON Point
+    * features. Coordinates are stringified through DECIMAL(7,2) so the
+    * feature string is deterministic across engines (double shortest-
+    * repr formatting is engine/JDK-specific; fixed-scale decimal
+    * printing is not). The feature assembles with concat — a codegen'd
+    * row-local expression riding the scan, no JSON library in the path.
+    */
+  def refGeojsonExport(s: SparkSession, d: String): DataFrame =
+    geoEvents(s, d)
+      .filter(GeoOps.inBbox(col("lon"), col("lat"), -60.0, -85.0, 60.0, 30.0))
+      .select(col("event_id"),
+        concat(
+          lit("""{"type":"Feature","geometry":{"type":"Point","coordinates":["""),
+          col("lon").cast("decimal(7,2)").cast("string"), lit(","),
+          col("lat").cast("decimal(7,2)").cast("string"),
+          lit("""]},"properties":{"id":"""), col("event_id"), lit("}}")).as("feature"))
+      .orderBy("event_id")
+  val refGeojsonExportSql: String =
+    """SELECT event_id,
+      |  '{"type":"Feature","geometry":{"type":"Point","coordinates":[' ||
+      |  CAST(CAST(lon AS DECIMAL(7,2)) AS VARCHAR) || ',' ||
+      |  CAST(CAST(lat AS DECIMAL(7,2)) AS VARCHAR) ||
+      |  ']},"properties":{"id":' || event_id || '}}' AS feature
+      |FROM (
+      |  SELECT event_id, value % 360.0 - 180.0 AS lon,
+      |         CAST(user_id % 180 AS DOUBLE) - 90.0 AS lat
+      |  FROM events) g
+      |WHERE lon BETWEEN -60.0 AND 60.0 AND lat BETWEEN -85.0 AND 30.0
+      |ORDER BY event_id""".stripMargin
+
   private val indexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Build (once per sfDir) and enable the inverted text index. */
@@ -343,6 +441,8 @@ object RefSurface {
     "ref_text_index_search" -> (refTextIndexSearch _),
     "ref_text_phrase_search" -> (refTextPhraseSearch _),
     "ref_product_groups" -> (refProductGroups _),
+    "ref_submission_status" -> (refSubmissionStatus _),
+    "ref_geojson_export" -> (refGeojsonExport _),
     "store_merge_upsert" -> (storeMergeUpsert _),
     "page_offset_limit" -> (pageOffsetLimit _),
     "page_keyset" -> (pageKeyset _),
@@ -354,6 +454,8 @@ object RefSurface {
     "ref_text_index_search" -> refTextIndexSearchSql,
     "ref_text_phrase_search" -> refTextPhraseSearchSql,
     "ref_product_groups" -> refProductGroupsSql,
+    "ref_submission_status" -> refSubmissionStatusSql,
+    "ref_geojson_export" -> refGeojsonExportSql,
     "store_merge_upsert" -> storeMergeUpsertSql,
     "page_offset_limit" -> pageOffsetLimitSql,
     "page_keyset" -> pageKeysetSql,

@@ -287,8 +287,31 @@ object Scalars {
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** agg_approx_percentile — the at-scale variant of [[aggPercentiles]]:
+    * Spark's approx_percentile (a bounded-size quantile sketch per
+    * group, mergeable across partitions) instead of the exact per-group
+    * sort. This is the 100 TB answer named in aggPercentiles' Scaladoc:
+    * fixed memory per group, one pass, map-side combine. No DuckDB
+    * oracle (sketch-specific, returns an actual element rather than an
+    * interpolated value); SketchSpec bounds it against the exact
+    * quartiles.
+    */
+  def aggApproxPercentile(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)").as("aq"),
+        count(lit(1)).as("n"))
+      .select(
+        col("l_returnflag"),
+        element_at(col("aq"), 1).as("q1"),
+        element_at(col("aq"), 2).as("q2"),
+        element_at(col("aq"), 3).as("q3"),
+        col("n"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_percentiles" -> (aggPercentiles _),
+    "agg_approx_percentile" -> (aggApproxPercentile _),
     "str_funcs" -> (strFuncs _),
     "date_funcs" -> (dateFuncs _),
     "math_funcs" -> (mathFuncs _),

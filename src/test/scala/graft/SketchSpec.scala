@@ -70,6 +70,21 @@ class SketchSpec extends SparkSpec {
     assert(rows.get((3L, 4L)).contains(0), s"planted shuffled pair (3,4) not at hamming 0: $rows")
   }
 
+  test("agg_approx_percentile within 1 quantity unit of the exact quartiles") {
+    val exact = graft.queries.Scalars.aggPercentiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = graft.queries.Scalars.aggApproxPercentile(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (e1, e2, e3)) =>
+      val (a1, a2, a3) = approx(k)
+      // approx returns an actual element; exact interpolates — at
+      // accuracy 10000 they differ by at most one neighboring value
+      assert(math.abs(a1 - e1) <= 1.0 && math.abs(a2 - e2) <= 1.0 && math.abs(a3 - e3) <= 1.0,
+        s"$k: approx ($a1,$a2,$a3) vs exact ($e1,$e2,$e3)")
+    }
+  }
+
   test("dedup_embed_cosine candidate route reproduces the exact all-pairs result") {
     val viaCandidates = DedupExtras.dedupEmbedCosine(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
