@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatVecDot, MinHash16, SimHash64}
+import graft.functions.{FloatVecDot, MinHash16, ShingleHash3, SimHash64, TokenHash64}
 import graft.plans.{GraftTextSearch, TextIndex}
 
 /** Library entry point for Spark's extension mechanism: registers every
@@ -31,6 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn(FloatVecDot.name, classOf[FloatVecDot], cs => FloatVecDot(cs(0), cs(1)))
     fn(SimHash64.name, classOf[SimHash64], cs => SimHash64(cs.head))
     fn(MinHash16.name, classOf[MinHash16], cs => MinHash16(cs.head))
+    fn(ShingleHash3.name, classOf[ShingleHash3], cs => ShingleHash3(cs.head))
+    fn(TokenHash64.name, classOf[TokenHash64], cs => TokenHash64(cs.head))
     fn(TextIndex.name, classOf[GraftTextSearch], cs => GraftTextSearch(cs(0), cs(1)))
   }
 }

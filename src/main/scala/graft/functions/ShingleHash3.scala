@@ -72,6 +72,88 @@ object ShingleHashKernel {
   }
 }
 
+/** Single-pass kernel: text → distinct 64-bit FNV-1a hashes of its
+  * space-separated tokens (no shingling). The SimHash vote loop only
+  * needs a stable well-mixed hash per distinct token — computing it
+  * here replaces an interpreted array_distinct(split)+transform chain
+  * with one codegen'd call.
+  */
+object TokenHashKernel {
+  def compute(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    var out = new Array[Long](16)
+    var n = 0
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (n == out.length) out = java.util.Arrays.copyOf(out, n * 2)
+        // finalize with a splitmix-style avalanche: FNV-1a alone is
+        // weak in the high bits, and SimHash votes on all 64
+        var z = h
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^= (z >>> 31)
+        out(n) = z
+        n += 1
+        h = 0xcbf29ce484222325L
+      } else {
+        h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(out, 0, n)
+    var w = 0
+    var r = 0
+    while (r < n) {
+      if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+}
+
+/** Native Catalyst expression: distinct 64-bit token hashes of a text
+  * column (see [[TokenHashKernel]]).
+  */
+case class TokenHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"input must be string, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenHashKernel.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.TokenHashKernel.compute($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHash64 =
+    copy(child = newChild)
+}
+
+object TokenHash64 {
+  val name = "graft_tokenhash64"
+  @volatile private var registered = Set.empty[SparkSession]
+
+  def register(s: SparkSession): Unit =
+    if (!registered.contains(s)) synchronized {
+      s.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[TokenHash64].getName, name),
+        (children: Seq[Expression]) => TokenHash64(children.head))
+      registered += s
+    }
+}
+
 /** Native Catalyst expression: distinct 3-token shingle hashes of a
   * text column, in one codegen'd pass over the UTF-8 bytes.
   *

@@ -97,13 +97,14 @@ object DedupExtras {
     * hash); scalatest plants shuffled near-copies.
     */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TokenHash64.register(s)
     graft.functions.SimHash64.register(s)
     val sigs = documents(s, d)
-      .withColumn("toks", array_distinct(split(col("text"), " ")))
-      // per-token hashes via one cheap HOF pass; the 64-bit vote loop
-      // runs in the codegen'd native expression (the interpreted
-      // nested-HOF formulation cost 14 s at sf0.1 — measured)
-      .withColumn("hs", expr("transform(toks, t -> xxhash64(t))"))
+      // distinct per-token hashes in one codegen'd byte pass
+      // (TokenHash64), then the 64-bit vote loop (SimHash64) — the
+      // whole signature fuses into the scan stage; the interpreted
+      // split/distinct/transform chain this replaced was the cost
+      .withColumn("hs", expr(s"${graft.functions.TokenHash64.name}(text)"))
       .withColumn("sig", expr(s"${graft.functions.SimHash64.name}(hs)"))
       .select(col("doc_id"), col("sig"))
     val bands = sigs.select(
