@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.Multimodal.queries ++
     graft.queries.RefSurface.queries ++
     graft.queries.Analytics.queries ++
-    graft.queries.Extras2.queries
+    graft.queries.Extras2.queries ++
+    graft.queries.Pipeline.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -33,5 +34,6 @@ object SparkEntry {
     graft.queries.Multimodal.oracle ++
     graft.queries.RefSurface.oracle ++
     graft.queries.Analytics.oracle ++
-    graft.queries.Extras2.oracle
+    graft.queries.Extras2.oracle ++
+    graft.queries.Pipeline.oracle
 }

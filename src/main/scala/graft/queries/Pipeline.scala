@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Training-data pipeline operators beyond the dedup/similarity family:
+  * duplicate-cluster canonicalization, deterministic train/eval
+  * splitting, vocabulary encoding, PII-style redaction, and batch
+  * sessionization — the steps between "near-dup pairs found" and "clean
+  * shards written" in a 100 TB corpus build.
+  */
+object Pipeline {
+
+  /** dedup_cluster_cc — connected components over the near-dup pair
+    * graph: pairs (from the exact n-gram Jaccard join, C5) are edges;
+    * each document's cluster is labeled by the smallest reachable
+    * doc_id, i.e. the canonical representative a dedup pipeline keeps.
+    *
+    * Shape: iterative min-label propagation — each round is one
+    * equi-join of the current labels against the (symmetric) edge list
+    * keyed by node plus a min-aggregation, exactly the large-graph CC
+    * formulation (GraphX/Pregel's label propagation as plain joins).
+    * Rounds = component diameter, and near-dup clusters are short by
+    * construction (a chain of pairwise-similar docs); each round
+    * shuffles O(|E|) rows by node id — no driver-side graph. The
+    * convergence probe is a strictly-decreasing label-sum aggregate
+    * (min-label updates only ever lower labels), one scalar action per
+    * round. The fixpoint is unique, so the result is deterministic
+    * regardless of join/iteration order.
+    *
+    * Oracle: DuckDB WITH RECURSIVE reachability walk seeded (id, id),
+    * min label per node — an independent formulation of the same
+    * components.
+    */
+  def dedupClusterCc(s: SparkSession, d: String): DataFrame = {
+    val pairs = DedupExtras.dedupNgramJaccard(s, d).select("doc_a", "doc_b")
+    val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").persist()
+    var comp = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")).persist()
+    var prevSum = comp.agg(sum("comp")).head().getLong(0)
+    var converged = false
+    while (!converged) {
+      val next = comp.join(sym, col("id") === col("src"))
+        .select(col("dst").as("id"), col("comp"))
+        .union(comp.select(col("id"), col("comp")))
+        .groupBy("id").agg(min("comp").as("comp"))
+        .persist()
+      val sumNow = next.agg(sum("comp")).head().getLong(0)
+      comp.unpersist()
+      comp = next
+      converged = sumNow == prevSum
+      prevSum = sumNow
+    }
+    val out = comp
+      .groupBy("comp")
+      .agg(
+        count(lit(1)).as("n_members"),
+        concat_ws(",", array_sort(collect_list(col("id")))).as("members"))
+      .select(col("comp").as("cluster_rep"), col("n_members"), col("members"))
+      .orderBy("cluster_rep")
+      // truncate the iterative lineage (one small row per cluster) so the
+      // caches can be released; on a cluster this is checkpoint()
+      .localCheckpoint(true)
+    comp.unpersist()
+    sym.unpersist()
+    out
+  }
+  val dedupClusterCcSql: String =
+    """WITH RECURSIVE
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+      |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS g
+      |  FROM documents),
+      |edges AS (
+      |  SELECT a.doc_id AS src, b.doc_id AS dst
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.g, b.g))) >= 0.6),
+      |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+      |walk(id, comp) AS (
+      |  SELECT DISTINCT src, src FROM sym
+      |  UNION
+      |  SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.id),
+      |lab AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
+      |SELECT comp AS cluster_rep, count(*) AS n_members,
+      |  array_to_string(list_sort(list(id)), ',') AS members
+      |FROM lab GROUP BY comp ORDER BY cluster_rep""".stripMargin
+
+  /** sample_split_train — deterministic hash-based train/eval split
+    * (~80/20): the split key is the first md5 hex byte of the doc id,
+    * so assignment is stable under reshuffling, re-runs, and corpus
+    * growth — the property a reproducible training pipeline needs
+    * (`rand()` is banned by R4 and would resample every run). One
+    * map-side-combinable aggregation; no shuffle beyond the final
+    * 10-row group-by.
+    */
+  def sampleSplitTrain(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("split",
+        when(substring(md5(col("doc_id").cast("string")), 1, 2) < "cd", "train")
+          .otherwise("eval"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("bigint").as("sum_chars"))
+      .orderBy("split", "lang")
+  val sampleSplitTrainSql: String =
+    """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+      |            THEN 'train' ELSE 'eval' END AS split,
+      |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+
+  /** text_vocab_encode — token→id encoding against a frequency-ranked
+    * vocabulary: the top-256 corpus tokens get ids 0..255 (rank order:
+    * count desc, token asc — a total order, so ids are deterministic);
+    * every document reports its token count, OOV count, and the sum of
+    * its in-vocab ids (an order-free checksum of the encoded sequence).
+    *
+    * Shape: the vocab is corpus-wide frequency (map-side combined) cut
+    * to 256 rows, then row_number over those 256 rows only — the
+    * single-partition window touches vocab-size rows, never the corpus.
+    * Encoding is a broadcast hash join token→id riding the exploded
+    * scan; the per-doc rollup shuffles once on doc_id.
+    */
+  def textVocabEncode(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc).limit(256)
+    val vocab = counts
+      .withColumn("id",
+        row_number().over(Window.orderBy(col("c").desc, col("tok").asc)) - 1)
+      .select("tok", "id")
+    toks.join(broadcast(vocab), Seq("tok"), "left_outer")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("id").isNull, 1)).as("n_oov"),
+        sum(col("id")).cast("bigint").as("sum_ids"))
+      .orderBy("doc_id")
+  }
+  val textVocabEncodeSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+      |vc AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+      |vocab AS (
+      |  SELECT tok, rn - 1 AS id FROM (
+      |    SELECT tok, row_number() OVER (ORDER BY c DESC, tok ASC) AS rn FROM vc) t
+      |  WHERE rn <= 256)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  count(*) FILTER (WHERE id IS NULL) AS n_oov,
+      |  CAST(sum(id) AS BIGINT) AS sum_ids
+      |FROM toks LEFT JOIN vocab USING (tok)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** text_pii_redact — regex redaction of emails and long digit runs,
+    * the PII-scrub pass of a corpus build. The raw corpus contains no
+    * digits (MEASURED), so a deterministic PII-ish suffix is first
+    * synthesized per doc (email on doc_id % 3 == 0, numeric ref on
+    * doc_id % 2 == 0) — fixture synthesis exactly like the geo and
+    * submission-workflow queries; the graded operator is the redaction.
+    * Emails are redacted before digit runs so an address's digits don't
+    * double-count. Everything is codegen'd regexp expressions riding
+    * one scan — no UDF, no shuffle before the final sort.
+    */
+  def textPiiRedact(s: SparkSession, d: String): DataFrame = {
+    val emailPat = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+    val numPat = "[0-9]{3,}"
+    documents(s, d)
+      .withColumn("synth", concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@mail.example")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" ref "), col("doc_id") + 1000)).otherwise(lit(""))))
+      .withColumn("n_emails", regexp_count(col("synth"), lit(emailPat)))
+      .withColumn("deemailed", regexp_replace(col("synth"), emailPat, "<EMAIL>"))
+      .withColumn("n_nums", regexp_count(col("deemailed"), lit(numPat)))
+      .withColumn("clean", regexp_replace(col("deemailed"), numPat, "<NUM>"))
+      .select(col("doc_id"),
+        col("n_emails").cast("bigint").as("n_emails"),
+        col("n_nums").cast("bigint").as("n_nums"),
+        length(col("synth")).cast("bigint").as("len_before"),
+        length(col("clean")).cast("bigint").as("len_after"))
+      .orderBy("doc_id")
+  }
+  val textPiiRedactSql: String =
+    """WITH synth AS (
+      |  SELECT doc_id,
+      |    text ||
+      |    CASE WHEN doc_id % 3 = 0
+      |         THEN ' contact user' || doc_id || '@mail.example' ELSE '' END ||
+      |    CASE WHEN doc_id % 2 = 0 THEN ' ref ' || (doc_id + 1000) ELSE '' END AS s
+      |  FROM documents),
+      |de AS (
+      |  SELECT doc_id, s,
+      |    len(regexp_extract_all(s, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS n_emails,
+      |    regexp_replace(s, '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g') AS s2
+      |  FROM synth)
+      |SELECT doc_id, n_emails,
+      |  len(regexp_extract_all(s2, '[0-9]{3,}')) AS n_nums,
+      |  length(s) AS len_before,
+      |  length(regexp_replace(s2, '[0-9]{3,}', '<NUM>', 'g')) AS len_after
+      |FROM de ORDER BY doc_id""".stripMargin
+
+  /** win_session_batch — batch gaps-and-islands sessionization: the
+    * batch twin of B48's streaming session_window, producing the same
+    * (user, session) rows from the same 10-minute gap rule. A new
+    * session starts where the gap from the previous event is >= 10min
+    * (lag), session ids are the running sum of those breaks, then one
+    * group-by — two keyed window passes and an aggregation, all
+    * partitioned by user_id (parallel at any scale; no global window).
+    * Session end mirrors session_window: last event + gap.
+    */
+  def winSessionBatch(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("value"))
+      .withColumn("brk",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          col("ts") >= lag(col("ts"), 1).over(w) + expr("INTERVAL 10 MINUTES"), 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess")
+      .agg(
+        min(col("ts")).as("sess_start"),
+        (max(col("ts")) + expr("INTERVAL 10 MINUTES")).as("sess_end"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"))
+      .select("user_id", "sess_start", "sess_end", "n_events", "sum_value")
+      .orderBy("user_id", "sess_start")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cluster_cc" -> (dedupClusterCc _),
+    "sample_split_train" -> (sampleSplitTrain _),
+    "text_vocab_encode" -> (textVocabEncode _),
+    "text_pii_redact" -> (textPiiRedact _),
+    "win_session_batch" -> (winSessionBatch _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dedup_cluster_cc" -> dedupClusterCcSql,
+    "sample_split_train" -> sampleSplitTrainSql,
+    "text_vocab_encode" -> textVocabEncodeSql,
+    "text_pii_redact" -> textPiiRedactSql,
+    // the streaming session query's gaps-and-islands oracle IS the
+    // batch formulation — identical contract for the batch twin
+    "win_session_batch" -> Streaming.streamSessionWindowSql,
+  )
+}

@@ -133,6 +133,49 @@ object Relational {
        |FROM orders WHERE o_orderstatus = 'P'
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** join_bucketed_colocated — the co-located join: orders and customer
+    * both written as 8-bucket tables on the join key, then joined and
+    * aggregated BY that key. Because both sides' bucketing matches the
+    * join key (and bucket counts match), the join needs no Exchange on
+    * either side, and the group-by on the same key rides the join's
+    * distribution — the only shuffle in the whole plan is the final R1
+    * output sort. PlanSpec asserts the Exchange-free join. This is the
+    * 100 TB pattern for repeated fact⋈fact joins: pay the partitioned
+    * write once, then every downstream join/agg on the key is
+    * shuffle-free. The repartition before each write aligns data with
+    * its bucket so each bucket is exactly one file.
+    */
+  def joinBucketedColocated(s: SparkSession, d: String): DataFrame = {
+    val tag = java.lang.Integer.toHexString(d.hashCode & 0x7fffffff)
+    val to = s"graft_bkt_orders_$tag"
+    val tc = s"graft_bkt_customer_$tag"
+    this.synchronized {
+      if (!s.catalog.tableExists(to) || !s.catalog.tableExists(tc)) {
+        val base = java.nio.file.Files.createTempDirectory("graft_bkt_").toString
+        orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+          .repartition(8, col("o_custkey"))
+          .write.mode("overwrite")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .option("path", s"$base/orders").saveAsTable(to)
+        customer(s, d).select("c_custkey", "c_name")
+          .repartition(8, col("c_custkey"))
+          .write.mode("overwrite")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .option("path", s"$base/customer").saveAsTable(tc)
+      }
+    }
+    s.table(to)
+      .join(s.table(tc), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("c_custkey")
+  }
+  val joinBucketedColocatedSql: String =
+    s"""SELECT c_custkey, c_name, count(*) AS n_orders,
+       |  ${dsumSql("o_totalprice")} AS total_price
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin
+
   // ------------------------------------------------------------------
   // Joins (B4–B10)
   // ------------------------------------------------------------------
@@ -489,6 +532,7 @@ object Relational {
     "sink_partitioned_prune" -> (sinkPartitionedPrune _),
     "join_inner_hash" -> (joinInnerHash _),
     "join_broadcast" -> (joinBroadcast _),
+    "join_bucketed_colocated" -> (joinBucketedColocated _),
     "join_left_outer" -> (joinLeftOuter _),
     "join_full_outer" -> (joinFullOuter _),
     "join_semi" -> (joinSemi _),
@@ -516,6 +560,7 @@ object Relational {
     "sink_partitioned_prune" -> sinkPartitionedPruneSql,
     "join_inner_hash" -> joinInnerHashSql,
     "join_broadcast" -> joinBroadcastSql,
+    "join_bucketed_colocated" -> joinBucketedColocatedSql,
     "join_left_outer" -> joinLeftOuterSql,
     "join_full_outer" -> joinFullOuterSql,
     "join_semi" -> joinSemiSql,

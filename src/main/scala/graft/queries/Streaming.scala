@@ -315,6 +315,78 @@ object Streaming {
       | AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
       |ORDER BY p_id, v_id""".stripMargin
 
+  /** stream_foreachbatch_upsert — the streaming→store integration: the
+    * event stream (replayed 2×, one file per micro-batch) drives a
+    * foreachBatch MERGE into the keyed [[graft.sources.DatasetStore]].
+    * Each micro-batch pre-aggregates per user (count + exact integer
+    * cents + latest event by (ts, event_id)), then merges additively
+    * with the store's current per-user row and commits one new
+    * snapshot — the incremental-materialized-view pattern: state lives
+    * in the store, each batch touches O(batch users) rows, and a crash
+    * between batches leaves the last committed snapshot readable.
+    * Merge math is associative (sums of counts/cents, max_by on a total
+    * order), so the result is independent of batch slicing — the oracle
+    * recomputes it from the doubled batch equivalent.
+    */
+  def streamForeachbatchUpsert(s: SparkSession, d: String): DataFrame = {
+    val sch = rawSchema(s, d)
+    val dir = stageDir(s, d, copies = 2, sentinels = false)
+    val store = new graft.sources.DatasetStore(
+      s, Files.createTempDirectory("graft_fbu_").toString + "/users", "user_id")
+    def mergeBatch(batch: DataFrame, cur: Option[DataFrame]): DataFrame = {
+      val agg = batch
+        .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          // exact integer cents via the decimal image (value*100 in
+          // double truncates wrong: 12.30*100 = 1229.999…)
+          sum((col("value").cast(Tables.M) * 100).cast("long")).as("cents"),
+          max_by(struct(col("ets").as("ts"), col("event_id").as("id"),
+            col("value").as("v")), struct(col("ets"), col("event_id"))).as("last"))
+      cur match {
+        case None => agg
+        case Some(c) => c.unionByName(agg)
+          .groupBy("user_id")
+          .agg(
+            sum(col("n_events")).as("n_events"),
+            sum(col("cents")).as("cents"),
+            max_by(col("last"), struct(col("last.ts"), col("last.id"))).as("last"))
+      }
+    }
+    val q = s.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(dir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val merged = mergeBatch(batch,
+          if (store.isInitialized) Some(store.read()) else None)
+        store.init(merged)
+      }
+      .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    store.read()
+      .select(col("user_id"), col("n_events"),
+        (col("cents").cast("double") / 100.0).as("sum_value"),
+        col("last.ts").cast(TimestampNTZType).as("last_ts"),
+        col("last.v").as("last_value"))
+      .orderBy("user_id")
+  }
+  val streamForeachbatchUpsertSql: String =
+    """WITH r AS (
+      |  SELECT user_id, ts, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events),
+      |a AS (
+      |  SELECT user_id, 2 * count(*) AS n_events,
+      |    CAST(2 * sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+      |  FROM events GROUP BY user_id)
+      |SELECT a.user_id, a.n_events, a.sum_value,
+      |  r.ts AS last_ts, r.value AS last_value
+      |FROM a JOIN r ON a.user_id = r.user_id AND r.rn = 1
+      |ORDER BY a.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_stream_join" -> (streamStreamJoin _),
     "stream_tumbling_count" -> (streamTumblingCount _),
@@ -322,6 +394,7 @@ object Streaming {
     "stream_session_window" -> (streamSessionWindow _),
     "stream_dedup_watermark" -> (streamDedupWatermark _),
     "stream_custom_state" -> (streamCustomState _),
+    "stream_foreachbatch_upsert" -> (streamForeachbatchUpsert _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -331,5 +404,6 @@ object Streaming {
     "stream_session_window" -> streamSessionWindowSql,
     "stream_dedup_watermark" -> streamDedupWatermarkSql,
     "stream_custom_state" -> streamCustomStateSql,
+    "stream_foreachbatch_upsert" -> streamForeachbatchUpsertSql,
   )
 }

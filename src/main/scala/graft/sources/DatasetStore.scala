@@ -67,6 +67,9 @@ class DatasetStore(spark: SparkSession, path: String, keyCol: String) {
     }
   }
 
+  /** Whether a committed snapshot exists (CURRENT manifest present). */
+  def isInitialized: Boolean = currentFile.exists
+
   def init(df: DataFrame): Unit = commit(Seq(writeSegment(df)))
 
   /** Append = a new segment joins the manifest; existing segments are

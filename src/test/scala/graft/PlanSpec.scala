@@ -92,6 +92,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("join_bucketed_colocated joins and aggregates without shuffling either side") {
+    // with broadcast disabled, the bucketed join must be a SortMergeJoin
+    // whose inputs read bucketed files directly — the only Exchange in
+    // the whole plan is the final R1 output sort (rangepartitioning)
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = Relational.joinBucketedColocated(spark, sf)
+      val p = plan(df)
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+      val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+      assert(exchanges.forall(_.contains("rangepartitioning")),
+        s"join or aggregate input shuffled despite matching buckets:\n$p")
+      assert("HashAggregate".r.findAllIn(p).nonEmpty)
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("sink_partitioned_prune prunes partitions at the scan") {
     val df = Relational.sinkPartitionedPrune(spark, sf)
     val p = plan(df)
