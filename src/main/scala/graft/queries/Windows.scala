@@ -225,6 +225,43 @@ object Windows {
       |WHERE event_type = 'purchase'
       |ORDER BY event_id""".stripMargin
 
+  /** join_asof_native — a true two-table ASOF join through the custom
+    * physical operator ([[graft.plans.AsofJoinExec]]): each purchase
+    * matched to the same user's latest view at-or-before the purchase
+    * time (ties on view time broken by highest view id), left-outer.
+    * EnsureRequirements plans it like a sort-merge join — one hash
+    * exchange per side on user_id, in-partition sorts, then a linear
+    * merge with O(1) state per key — the shape that scales where B11's
+    * single-stream window form stops applying (distinct left/right
+    * relations). PlanSpec asserts the custom node and its SMJ-style
+    * exchanges; the oracle is the window+row_number formulation.
+    */
+  def joinAsofNative(s: SparkSession, d: String): DataFrame = {
+    graft.plans.AsofJoinStrategy.register(s)
+    val ev = events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("ts").as("pts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("vid"), col("user_id").as("v_user"),
+        col("ts").as("vts"))
+    graft.plans.AsofJoin.df(p, v,
+      p("user_id"), v("v_user"), p("pts"), v("vts"), v("vid"))
+      .select(col("pid"), col("user_id"), col("pts"),
+        col("vid").as("asof_view_id"), col("vts").as("asof_view_ts"))
+      .orderBy("pid")
+  }
+  val joinAsofNativeSql: String =
+    """SELECT pid, user_id, pts, asof_view_id, asof_view_ts FROM (
+      |  SELECT p.event_id AS pid, p.user_id, p.ts AS pts,
+      |    v.event_id AS asof_view_id, v.ts AS asof_view_ts,
+      |    row_number() OVER (PARTITION BY p.event_id
+      |      ORDER BY v.ts DESC, v.event_id DESC) AS rn
+      |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |    ON p.user_id = v.user_id AND v.ts <= p.ts) t
+      |WHERE rn = 1
+      |ORDER BY pid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_rank" -> (winRank _),
     "win_topk_group" -> (winTopkGroup _),
@@ -233,6 +270,7 @@ object Windows {
     "win_lead_lag" -> (winLeadLag _),
     "win_ntile_pct" -> (winNtilePct _),
     "join_asof_prev" -> (joinAsofPrev _),
+    "join_asof_native" -> (joinAsofNative _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -243,5 +281,6 @@ object Windows {
     "win_lead_lag" -> winLeadLagSql,
     "win_ntile_pct" -> winNtilePctSql,
     "join_asof_prev" -> joinAsofPrevSql,
+    "join_asof_native" -> joinAsofNativeSql,
   )
 }

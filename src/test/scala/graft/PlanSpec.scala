@@ -110,6 +110,31 @@ class PlanSpec extends SparkSpec {
     } finally conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("join_asof_native plans the custom merge operator with SMJ-style exchanges") {
+    import org.apache.spark.sql.functions._
+    val df = graft.queries.Windows.joinAsofNative(spark, sf)
+    val p = plan(df)
+    assert(p.contains("AsofJoin"), s"custom operator missing from plan:\n$p")
+    assert("hashpartitioning\\(".r.findAllIn(p).size >= 2,
+      s"expected a hash exchange per side under the merge:\n$p")
+    // semantics cross-check: the window+row_number formulation
+    val ev = graft.Tables.events(spark, sf)
+    val pp = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("ts").as("pts"))
+    val vv = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("vid"), col("user_id").as("vu"), col("ts").as("vts"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy(col("vts").desc, col("vid").desc)
+    val expected = pp
+      .join(vv, col("user_id") === col("vu") && col("vts") <= col("pts"), "left_outer")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("pid"), col("user_id"), col("pts"),
+        col("vid").as("asof_view_id"), col("vts").as("asof_view_ts"))
+    assert(df.count() == expected.count())
+    assert(df.except(expected).isEmpty && expected.except(df).isEmpty,
+      "custom as-of join diverges from the window formulation")
+  }
+
   test("sink_partitioned_prune prunes partitions at the scan") {
     val df = Relational.sinkPartitionedPrune(spark, sf)
     val p = plan(df)
