@@ -237,12 +237,71 @@ object Pipeline {
       .orderBy("user_id", "sess_start")
   }
 
+  /** pipeline_clean_corpus — the end-to-end corpus-cleaning pipeline as
+    * ONE declarative plan: fingerprint-dedup (keep the lowest doc_id
+    * per order/duplication-insensitive token-set fingerprint, C3's
+    * rule) → quality filter (C1's blended score ≥ 0.6) → deterministic
+    * hash split (C38's rule) → per-(split, lang) shard statistics.
+    * Composition is the point: each stage is a Column expression or
+    * one keyed aggregation, so Catalyst fuses the whole pipeline into
+    * scan → fingerprint-agg (one shuffle) → broadcast-free semi-join →
+    * expression-only filter/split → final 10-row rollup; nothing
+    * materializes between stages.
+    */
+  def pipelineCleanCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val keep = docs
+      .groupBy(md5(concat_ws(" ",
+        array_sort(array_distinct(split(col("text"), " ")))).cast("binary")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    docs.join(keep, Seq("doc_id"), "left_semi")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop", size(expr(
+        "filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'in', 'on', 'to', 'is'))")))
+      .withColumn("quality",
+        lit(0.3) * (col("n_stop").cast("double") / col("n_tokens")) +
+        lit(0.7) * (least(col("n_tokens"), lit(100)).cast("double") / lit(100.0)))
+      .filter(col("quality") >= 0.6)
+      .withColumn("split",
+        when(substring(md5(col("doc_id").cast("string")), 1, 2) < "cd", "train")
+          .otherwise("eval"))
+      .groupBy("split", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("bigint").as("sum_chars"),
+        sum(col("n_tokens")).cast("bigint").as("sum_tokens"))
+      .orderBy("split", "lang")
+  }
+  val pipelineCleanCorpusSql: String =
+    """WITH kept AS (
+      |  SELECT min(doc_id) AS doc_id FROM documents
+      |  GROUP BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))),
+      |q AS (
+      |  SELECT d.doc_id, d.lang, d.n_chars,
+      |    len(string_split(d.text, ' ')) AS n_tokens,
+      |    0.3 * (CAST(len(list_filter(string_split(d.text, ' '),
+      |             t -> t IN ('the', 'a', 'of', 'and', 'in', 'on', 'to', 'is'))) AS DOUBLE)
+      |           / len(string_split(d.text, ' ')))
+      |    + 0.7 * (CAST(least(len(string_split(d.text, ' ')), 100) AS DOUBLE) / 100.0)
+      |      AS quality
+      |  FROM documents d JOIN kept USING (doc_id))
+      |SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+      |            THEN 'train' ELSE 'eval' END AS split,
+      |  lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+      |FROM q WHERE quality >= 0.6
+      |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cluster_cc" -> (dedupClusterCc _),
     "sample_split_train" -> (sampleSplitTrain _),
     "text_vocab_encode" -> (textVocabEncode _),
     "text_pii_redact" -> (textPiiRedact _),
     "win_session_batch" -> (winSessionBatch _),
+    "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -253,5 +312,6 @@ object Pipeline {
     // the streaming session query's gaps-and-islands oracle IS the
     // batch formulation — identical contract for the batch twin
     "win_session_batch" -> Streaming.streamSessionWindowSql,
+    "pipeline_clean_corpus" -> pipelineCleanCorpusSql,
   )
 }
