@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{FloatVecDot, MinHash16, ShingleHash3, SimHash64, TokenHash64}
-import graft.plans.{GraftTextSearch, TextIndex}
+import graft.plans.{AsofJoinStrategy, GraftTextSearch, TextIndex}
 
 /** Library entry point for Spark's extension mechanism: registers every
   * graft native expression at session build time, so a user enables the
@@ -34,5 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn(ShingleHash3.name, classOf[ShingleHash3], cs => ShingleHash3(cs.head))
     fn(TokenHash64.name, classOf[TokenHash64], cs => TokenHash64(cs.head))
     fn(TextIndex.name, classOf[GraftTextSearch], cs => GraftTextSearch(cs(0), cs(1)))
+    // whole-operator tier: the native ASOF join's planner strategy
+    ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
 }
