@@ -77,10 +77,55 @@ object Multimodal {
       |  CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Output schema of the frame-sampling stage. */
+  case class FrameSample(doc_id: Long, n_frames: Long, n_sampled: Long, checksum: Long)
+
+  /** multimodal_frame_sample — the video-style frame-sampling stage:
+    * the blob is treated as a sequence of fixed 16-byte frames; every
+    * 4th frame is sampled (indices 0, 4, 8, …) and summarized (byte-sum
+    * checksum stands in for the per-frame feature a codec would emit).
+    * Same typed mapPartitions boundary as the extract stage: sampling
+    * runs where the bytes live, emits one small typed row per doc —
+    * at 100 TB the blob column never survives past this narrow stage
+    * and only features shuffle. The oracle mirrors the exact byte/frame
+    * arithmetic from the text (ASCII fixture, see extract's note).
+    */
+  def multimodalFrameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, blob) =>
+          val n = blob.length
+          val nFrames = (n + 15L) / 16L
+          var checksum = 0L
+          var i = 0
+          while (i < n) {
+            if ((i / 16) % 4 == 0) checksum += (blob(i) & 0xff)
+            i += 1
+          }
+          FrameSample(id, nFrames, (nFrames + 3) / 4, checksum)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+  val multimodalFrameSampleSql: String =
+    """SELECT doc_id,
+      |  CAST((octet_length(encode(text)) + 15) // 16 AS BIGINT) AS n_frames,
+      |  CAST(((octet_length(encode(text)) + 15) // 16 + 3) // 4 AS BIGINT) AS n_sampled,
+      |  CAST(coalesce(list_aggregate(list_transform(generate_series(1, strlen(text)),
+      |    p -> CASE WHEN ((p - 1) // 16) % 4 = 0 THEN ascii(text[p]) ELSE 0 END),
+      |    'sum'), 0) AS BIGINT) AS checksum
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_extract" -> (multimodalExtract _),
+    "multimodal_frame_sample" -> (multimodalFrameSample _),
   )
   val oracle: Map[String, String] = Map(
     "multimodal_extract" -> multimodalExtractSql,
+    "multimodal_frame_sample" -> multimodalFrameSampleSql,
   )
 }
