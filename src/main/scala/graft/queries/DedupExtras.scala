@@ -251,11 +251,58 @@ object DedupExtras {
       .orderBy("probe_id", "rn")
   }
 
+  /** sim_topk_lsh — the LSH-bucketed ANN beside [[simTopkIvf]]: each
+    * vector's 64 sign bits (one hyperplane per dimension) pack into a
+    * 64-bit signature; candidates for a probe are corpus vectors
+    * sharing at least one of sixteen 4-bit signature bands (an
+    * equi-join on (band_idx, band_val) — never a scan per probe), then
+    * the exact dot re-ranks candidates to top-5. Sign-random-projection
+    * theory: P(bit agrees) = 1 − θ/π, so high-cosine neighbors collide
+    * in some band with high probability while the corpus at large
+    * doesn't — band count/width tune recall vs candidate volume.
+    *
+    * Recall honesty (same caveat as [[dedupEmbedCosine]]'s IVF note):
+    * this corpus's true top-5 neighbors sit at cosine ≈ 0.26–0.39
+    * (MEASURED) — nearly 75° apart — so bands must be 4 bits wide for
+    * useful recall and pruning is weak. At the similarities real
+    * dedup/retrieval targets (≥ 0.8, bit-agreement ≈ 0.86), the same
+    * structure prunes sharply with wider bands. Deterministic but
+    * structurally approximate → no oracle; SketchSpec measures recall
+    * vs the exact B42 top-k and checks per-probe ordering.
+    */
+  def simTopkLsh(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val sigd = e.withColumn("sig", expr(
+      """aggregate(sequence(0, 63), 0L,
+        |  (acc, i) -> acc | IF(element_at(embedding, i + 1) >= CAST(0 AS FLOAT),
+        |                       shiftleft(1L, i), 0L))""".stripMargin))
+    val bands = sigd.select(
+      col("vec_id"), col("embedding"),
+      posexplode(expr("transform(sequence(0, 15), j -> (sig >> (j * 4)) & 15)")))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_val")
+    val probes = bands.filter(col("vec_id") < 10)
+      .select(col("band_idx"), col("band_val"),
+        col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+    val corpus = bands.select(col("band_idx"), col("band_val"),
+      col("vec_id"), col("embedding"))
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id").asc)
+    probes.join(corpus, Seq("band_idx", "band_val"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(dotD(s, "probe_emb", "embedding"), 6).as("sim"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .orderBy("probe_id", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embed_cosine" -> (dedupEmbedCosine _),
     "sim_topk_ivf" -> (simTopkIvf _),
+    "sim_topk_lsh" -> (simTopkLsh _),
   )
 
   val oracle: Map[String, String] = Map(

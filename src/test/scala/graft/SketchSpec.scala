@@ -116,4 +116,19 @@ class SketchSpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall $recall below 0.3")
     info(f"IVF recall vs brute force: $recall%.2f")
   }
+
+  test("sim_topk_lsh: exact sims, sorted, and recall >= 0.3 vs brute force") {
+    val exact = LlmOps.simTopkCosine(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupExtras.simTopkLsh(spark, sf).collect()
+    lsh.groupBy(_.getLong(0)).foreach { case (p, rs) =>
+      assert(rs.length <= 5)
+      val sims = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, s"probe $p not sorted")
+    }
+    val lshPairs = lsh.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (lshPairs & exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"LSH recall $recall below 0.3")
+    info(f"LSH recall vs brute force: $recall%.2f")
+  }
 }
