@@ -176,6 +176,33 @@ object Relational {
        |FROM orders JOIN customer ON o_custkey = c_custkey
        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin
 
+  /** join_shuffle_hash — the SHUFFLE_HASH-hinted join: both sides
+    * shuffle on the key, the smaller builds an in-memory hash table per
+    * partition (no sort on either side — the win over sort-merge when
+    * the build side's partitions fit in memory and spill isn't needed).
+    * This completes the physical join menu exhibit: broadcast (B5),
+    * sort-merge (the default for B4 at scale), bucketed-colocated
+    * (C42), nested-loop theta (B10), and shuffled-hash here —
+    * plan-asserted in PlanSpec. Supplier (the smaller side) is hinted
+    * as the build side; at 100 TB the same hint holds as long as
+    * per-partition build size stays in memory, which the partition
+    * count controls.
+    */
+  def joinShuffleHash(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(supplier(s, d).hint("SHUFFLE_HASH"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_nationkey")
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsumx(dec(col("l_extendedprice")) * oneMinus(col("l_discount"))).as("revenue"))
+      .orderBy("s_nationkey")
+  val joinShuffleHashSql: String =
+    s"""SELECT s_nationkey, count(*) AS n_items,
+       |  ${dsumxSql(s"${decSql("l_extendedprice")} * ${oneMinusSql("l_discount")}")} AS revenue
+       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
   // ------------------------------------------------------------------
   // Joins (B4–B10)
   // ------------------------------------------------------------------
@@ -533,6 +560,7 @@ object Relational {
     "join_inner_hash" -> (joinInnerHash _),
     "join_broadcast" -> (joinBroadcast _),
     "join_bucketed_colocated" -> (joinBucketedColocated _),
+    "join_shuffle_hash" -> (joinShuffleHash _),
     "join_left_outer" -> (joinLeftOuter _),
     "join_full_outer" -> (joinFullOuter _),
     "join_semi" -> (joinSemi _),
@@ -561,6 +589,7 @@ object Relational {
     "join_inner_hash" -> joinInnerHashSql,
     "join_broadcast" -> joinBroadcastSql,
     "join_bucketed_colocated" -> joinBucketedColocatedSql,
+    "join_shuffle_hash" -> joinShuffleHashSql,
     "join_left_outer" -> joinLeftOuterSql,
     "join_full_outer" -> joinFullOuterSql,
     "join_semi" -> joinSemiSql,

@@ -15,6 +15,11 @@ class PlanSpec extends SparkSpec {
     assert(plan(Relational.joinBroadcast(spark, sf)).contains("BroadcastHashJoin"))
   }
 
+  test("join_shuffle_hash builds a per-partition hash table, no sort on either side") {
+    val p = plan(Relational.joinShuffleHash(spark, sf))
+    assert(p.contains("ShuffledHashJoin"), s"hint did not produce a shuffled hash join:\n$p")
+  }
+
   test("join_semi / join_anti plan as semi/anti joins, not materialized joins") {
     assert(plan(Relational.joinSemi(spark, sf)).contains("LeftSemi"))
     assert(plan(Relational.joinAnti(spark, sf)).contains("LeftAnti"))
