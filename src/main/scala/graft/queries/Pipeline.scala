@@ -25,9 +25,10 @@ object Pipeline {
     * Rounds = component diameter, and near-dup clusters are short by
     * construction (a chain of pairwise-similar docs); each round
     * shuffles O(|E|) rows by node id — no driver-side graph. The
-    * convergence probe is a strictly-decreasing label-sum aggregate
-    * (min-label updates only ever lower labels), one scalar action per
-    * round. The fixpoint is unique, so the result is deterministic
+    * convergence probe asks whether any label changed this round (an
+    * equi-join of consecutive label frames + limit-1 action — not a
+    * label-sum aggregate, which can overflow int64 on a 10¹⁰-node
+    * corpus). The fixpoint is unique, so the result is deterministic
     * regardless of join/iteration order.
     *
     * Oracle: DuckDB WITH RECURSIVE reachability walk seeded (id, id),
@@ -40,7 +41,6 @@ object Pipeline {
       .toDF("src", "dst").persist()
     var comp = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp")).persist()
-    var prevSum = comp.agg(sum("comp")).head().getLong(0)
     var converged = false
     while (!converged) {
       val next = comp.join(sym, col("id") === col("src"))
@@ -48,11 +48,12 @@ object Pipeline {
         .union(comp.select(col("id"), col("comp")))
         .groupBy("id").agg(min("comp").as("comp"))
         .persist()
-      val sumNow = next.agg(sum("comp")).head().getLong(0)
+      converged = next.join(
+          comp.select(col("id"), col("comp").as("prev")), Seq("id"))
+        .filter(col("comp") =!= col("prev"))
+        .isEmpty
       comp.unpersist()
       comp = next
-      converged = sumNow == prevSum
-      prevSum = sumNow
     }
     val out = comp
       .groupBy("comp")
