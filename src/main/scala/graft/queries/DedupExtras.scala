@@ -148,6 +148,13 @@ object DedupExtras {
     * and nprobe/ncells tune per threshold. The structural point at
     * 100 TB is that candidates come from an equi-join keyed by cell —
     * shuffle on cell key, never materialize n² pairs.
+    *
+    * Scaling measurement (sf0.1, 2000 vectors — 4× the gated corpus,
+    * same fixed nprobe=10/ncells=64): the candidate route finds
+    * 916 of 920 true pairs (99.57% recall). Zero-miss at a larger
+    * corpus needs nprobe to scale with corpus/cell occupancy — the
+    * standard IVF tuning — or a final all-pairs verify within
+    * LSH/IVF buckets; the sf0.01 correctness gate stays exact.
     */
   def dedupEmbedCosine(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
