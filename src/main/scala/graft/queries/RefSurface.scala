@@ -383,6 +383,67 @@ object RefSurface {
       |WHERE lon BETWEEN -60.0 AND 60.0 AND lat BETWEEN -85.0 AND 30.0
       |ORDER BY event_id""".stripMargin
 
+  /** ref_zip_export — the A17 archive sink, literally: matching
+    * documents stream into one zip per partition (each task writes its
+    * own archive — the distributed-download shape: N workers produce N
+    * archive parts, no driver bottleneck), then the zips are read back
+    * through the `binaryFile` source and their central directories
+    * parsed per-partition. The graded output is the read-back entry
+    * listing — proving the sink produced well-formed archives with
+    * exactly the matching docs at their exact byte sizes. Entry→zip
+    * assignment is hash(doc_id) partitioning and entries are written
+    * in sorted order, so archives are deterministic modulo zip
+    * timestamps (which the listing ignores).
+    */
+  def refZipExport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import java.io.{ByteArrayInputStream, File, FileOutputStream}
+    import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
+    val outDir = Files.createTempDirectory("graft_zip_").toString
+    documents(s, d).filter(col("lang") === "en")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .repartition(4, col("doc_id"))
+      .mapPartitions { it =>
+        val rows = it.toArray.sortBy(_._1)
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val f = new File(outDir, f"part-$pid%04d.zip")
+          val zos = new ZipOutputStream(new FileOutputStream(f))
+          rows.foreach { case (id, text) =>
+            zos.putNextEntry(new ZipEntry(s"doc_$id.txt"))
+            zos.write(text.getBytes("UTF-8"))
+            zos.closeEntry()
+          }
+          zos.close()
+          Iterator(f.getName)
+        }
+      }.collect() // sink commit: 4 part-file names, not data
+    s.read.format("binaryFile").load(s"$outDir/*.zip")
+      .select(col("content")).as[Array[Byte]]
+      .flatMap { bytes =>
+        val zis = new ZipInputStream(new ByteArrayInputStream(bytes))
+        Iterator.continually(zis.getNextEntry)
+          .takeWhile(_ != null)
+          .map { e =>
+            var n = 0L
+            val buf = new Array[Byte](8192)
+            var r = zis.read(buf)
+            while (r >= 0) { n += r; r = zis.read(buf) }
+            (e.getName, n)
+          }.toList
+      }
+      .toDF("entry", "n_bytes")
+      .withColumn("doc_id",
+        regexp_extract(col("entry"), "doc_([0-9]+)\\.txt", 1).cast("long"))
+      .select("doc_id", "entry", "n_bytes")
+      .orderBy("doc_id")
+  }
+  val refZipExportSql: String =
+    """SELECT doc_id, 'doc_' || doc_id || '.txt' AS entry,
+      |  octet_length(encode(text)) AS n_bytes
+      |FROM documents WHERE lang = 'en' ORDER BY doc_id""".stripMargin
+
   private val indexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Build (once per sfDir) and enable the inverted text index. */
@@ -443,6 +504,7 @@ object RefSurface {
     "ref_product_groups" -> (refProductGroups _),
     "ref_submission_status" -> (refSubmissionStatus _),
     "ref_geojson_export" -> (refGeojsonExport _),
+    "ref_zip_export" -> (refZipExport _),
     "store_merge_upsert" -> (storeMergeUpsert _),
     "page_offset_limit" -> (pageOffsetLimit _),
     "page_keyset" -> (pageKeyset _),
@@ -456,6 +518,7 @@ object RefSurface {
     "ref_product_groups" -> refProductGroupsSql,
     "ref_submission_status" -> refSubmissionStatusSql,
     "ref_geojson_export" -> refGeojsonExportSql,
+    "ref_zip_export" -> refZipExportSql,
     "store_merge_upsert" -> storeMergeUpsertSql,
     "page_offset_limit" -> pageOffsetLimitSql,
     "page_keyset" -> pageKeysetSql,
