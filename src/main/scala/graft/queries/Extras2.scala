@@ -205,7 +205,38 @@ object Extras2 {
        |ORDER BY l_returnflag""".stripMargin
   }
 
+  /** agg_mode — deterministic mode: the most frequent order priority
+    * per order status, ties broken toward the lexicographically
+    * smallest value. Built-in `mode()` leaves tie order
+    * engine-defined, so both sides use the explicit two-level
+    * aggregation instead: count per (group, value) — map-side combined
+    * — then min_by over the (−count, value) ordering struct, which IS
+    * the (max count, min value) argmax. Two keyed shuffles, no window,
+    * deterministic on any engine.
+    */
+  def aggMode(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.Tables.orders(s, d)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("o_orderstatus")
+      .agg(
+        min_by(col("o_orderpriority"),
+          struct((-col("cnt")).as("nc"), col("o_orderpriority"))).as("mode_priority"),
+        max(col("cnt")).as("mode_count"))
+      .orderBy("o_orderstatus")
+  }
+  val aggModeSql: String =
+    """SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_count
+      |FROM (
+      |  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+      |    row_number() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY count(*) DESC, o_orderpriority ASC) AS rn
+      |  FROM orders GROUP BY o_orderstatus, o_orderpriority) t
+      |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mode" -> (aggMode _),
     "agg_moment_stats" -> (aggMomentStats _),
     "scan_json_source" -> (scanJsonSource _),
     "win_first_last" -> (winFirstLast _),
@@ -215,6 +246,7 @@ object Extras2 {
     "agg_salted_skew" -> (aggSaltedSkew _),
   )
   val oracle: Map[String, String] = Map(
+    "agg_mode" -> aggModeSql,
     "agg_moment_stats" -> aggMomentStatsSql,
     "scan_json_source" -> scanJsonSourceSql,
     "win_first_last" -> winFirstLastSql,

@@ -262,6 +262,32 @@ object Windows {
       |WHERE rn = 1
       |ORDER BY pid""".stripMargin
 
+  /** win_last_ignore_nulls — the carry-forward analytic: at every
+    * event, the user's most recent purchase amount (last_value IGNORE
+    * NULLS over a running frame — the standard gap-filling/LOCF shape).
+    * Purchases project their value, other events project null, and the
+    * frame carries the last non-null forward. One keyed window shuffle
+    * on user_id; deterministic via the (ts, event_id) total order.
+    */
+  def winLastIgnoreNulls(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .select(
+        col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "purchase", col("value")).as("pv"))
+      .withColumn("last_purchase_value", last(col("pv"), ignoreNulls = true).over(w))
+      .select("event_id", "user_id", "ts", "event_type", "last_purchase_value")
+      .orderBy("event_id")
+  }
+  val winLastIgnoreNullsSql: String =
+    """SELECT event_id, user_id, ts, event_type,
+      |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+      |FROM events ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_rank" -> (winRank _),
     "win_topk_group" -> (winTopkGroup _),
@@ -271,6 +297,7 @@ object Windows {
     "win_ntile_pct" -> (winNtilePct _),
     "join_asof_prev" -> (joinAsofPrev _),
     "join_asof_native" -> (joinAsofNative _),
+    "win_last_ignore_nulls" -> (winLastIgnoreNulls _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -282,5 +309,6 @@ object Windows {
     "win_ntile_pct" -> winNtilePctSql,
     "join_asof_prev" -> joinAsofPrevSql,
     "join_asof_native" -> joinAsofNativeSql,
+    "win_last_ignore_nulls" -> winLastIgnoreNullsSql,
   )
 }
