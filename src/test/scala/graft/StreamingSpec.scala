@@ -29,6 +29,48 @@ class StreamingSpec extends SparkSpec {
       "append-mode stream withheld windows — sentinel flush broken")
   }
 
+  test("checkpoint restart resumes exactly-once: new files only, no re-count") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    import org.apache.spark.sql.streaming.Trigger
+    // run 1 consumes file A into a foreachBatch-maintained total; the
+    // process "restarts" (new query, SAME checkpoint) after file B
+    // lands. The file-source offsets in the checkpoint must make run 2
+    // process ONLY file B — the resume contract a production pipeline
+    // relies on. Total must equal exactly one count of A + B.
+    val dir = Files.createTempDirectory("graft_resume_").toString
+    val ckpt = Files.createTempDirectory("graft_resume_ckpt_").toString
+    val sch = Streaming.rawSchema(spark, sf)
+    val total = new java.util.concurrent.atomic.AtomicLong(0)
+    def copyIn(name: String, atMs: Long): Unit = {
+      val dst = Paths.get(dir, name)
+      Files.copy(Paths.get(s"$sf/events.parquet"), dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(atMs))
+    }
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(sch).parquet(dir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          total.addAndGet(batch.count()); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    copyIn("a.parquet", t0)
+    runOnce()
+    val afterA = total.get()
+    copyIn("b.parquet", t0 + 5000)
+    runOnce() // same checkpoint: must pick up ONLY b.parquet
+    val batchOne = Tables.events(spark, sf).count()
+    assert(afterA == batchOne, s"run 1 missed rows: $afterA vs $batchOne")
+    assert(total.get() == 2 * batchOne,
+      s"restart broke exactly-once: total=${total.get()}, expected ${2 * batchOne} " +
+        "(less => file B missed; more => file A re-counted)")
+  }
+
   test("late data behind the watermark is dropped, not double-counted") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import java.nio.file.attribute.FileTime
