@@ -199,6 +199,30 @@ object Scalars {
       |WHERE vec_id < 3
       |ORDER BY vec_id, dim""".stripMargin
 
+  /** explode_outer_tokens — OUTER generator semantics: extract each
+    * document's rare long tokens (length ≥ 7 — MEASURED: 394 docs
+    * carry 934 such tokens, 106 docs carry none); the 106 survive as a
+    * null row (plain explode would drop them — the classic
+    * silent-row-loss bug in extraction pipelines). Null ordering is
+    * pinned explicitly (Spark asc = nulls first; DuckDB needs NULLS
+    * FIRST spelled out).
+    */
+  def explodeOuterTokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        explode_outer(expr(
+          "filter(split(lower(text), ' '), t -> length(t) >= 7)")).as("long_tok"))
+      .orderBy(col("doc_id").asc, col("long_tok").asc_nulls_first)
+  val explodeOuterTokensSql: String =
+    """WITH lt AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split(lower(text), ' '),
+      |      t -> length(t) >= 7)) AS long_tok
+      |  FROM documents)
+      |SELECT d.doc_id, lt.long_tok
+      |FROM documents d LEFT JOIN lt ON d.doc_id = lt.doc_id
+      |ORDER BY d.doc_id ASC, long_tok ASC NULLS FIRST""".stripMargin
+
   /** B38 udf_scalar — discount-band labeling as a Scala UDF, then a
     * per-band aggregate. The UDF is a black box to Catalyst (breaks
     * codegen fusion and pushdown past it) — kept deliberately as the
@@ -319,6 +343,7 @@ object Scalars {
     "array_funcs" -> (arrayFuncs _),
     "map_funcs" -> (mapFuncs _),
     "explode_posexplode" -> (explodePosexplode _),
+    "explode_outer_tokens" -> (explodeOuterTokens _),
     "udf_scalar" -> (udfScalar _),
     "udaf_geomean" -> (udafGeomean _),
   )
@@ -332,6 +357,7 @@ object Scalars {
     "array_funcs" -> arrayFuncsSql,
     "map_funcs" -> mapFuncsSql,
     "explode_posexplode" -> explodePosexplodeSql,
+    "explode_outer_tokens" -> explodeOuterTokensSql,
     "udf_scalar" -> udfScalarSql,
     "udaf_geomean" -> udafGeomeanSql,
   )
