@@ -203,6 +203,38 @@ object Relational {
        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
+  /** join_null_safe_eq — null-safe equality (`<=>` ≡ IS NOT DISTINCT
+    * FROM): null keys match each other instead of vanishing, the
+    * three-valued-logic trap behind silently-empty NOT IN / dropped
+    * null-key joins. A deterministic subset of keys is nullified on
+    * each side (fixture synthesis — testdata has no null keys), then
+    * the null-safe join counts pairs per key INCLUDING the (null,null)
+    * group. Plans as a normal hash join (null-safe equality is still
+    * an equi-key for hashing: null hashes to its own bucket).
+    */
+  def joinNullSafeEq(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select(
+      when(col("c_custkey") % 11 === 0, lit(null)).otherwise(col("c_nationkey"))
+        .cast("bigint").as("nk"))
+    val su = supplier(s, d).select(
+      when(col("s_suppkey") % 13 === 0, lit(null)).otherwise(col("s_nationkey"))
+        .cast("bigint").as("snk"))
+    c.join(su, col("nk") <=> col("snk"))
+      .groupBy("nk")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("nk").asc_nulls_first)
+  }
+  val joinNullSafeEqSql: String =
+    """WITH c AS (
+      |  SELECT CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_nationkey END AS nk
+      |  FROM customer),
+      |s AS (
+      |  SELECT CASE WHEN s_suppkey % 13 = 0 THEN NULL ELSE s_nationkey END AS snk
+      |  FROM supplier)
+      |SELECT nk, count(*) AS n_pairs
+      |FROM c JOIN s ON nk IS NOT DISTINCT FROM snk
+      |GROUP BY nk ORDER BY nk ASC NULLS FIRST""".stripMargin
+
   // ------------------------------------------------------------------
   // Joins (B4–B10)
   // ------------------------------------------------------------------
@@ -561,6 +593,7 @@ object Relational {
     "join_broadcast" -> (joinBroadcast _),
     "join_bucketed_colocated" -> (joinBucketedColocated _),
     "join_shuffle_hash" -> (joinShuffleHash _),
+    "join_null_safe_eq" -> (joinNullSafeEq _),
     "join_left_outer" -> (joinLeftOuter _),
     "join_full_outer" -> (joinFullOuter _),
     "join_semi" -> (joinSemi _),
@@ -590,6 +623,7 @@ object Relational {
     "join_broadcast" -> joinBroadcastSql,
     "join_bucketed_colocated" -> joinBucketedColocatedSql,
     "join_shuffle_hash" -> joinShuffleHashSql,
+    "join_null_safe_eq" -> joinNullSafeEqSql,
     "join_left_outer" -> joinLeftOuterSql,
     "join_full_outer" -> joinFullOuterSql,
     "join_semi" -> joinSemiSql,
