@@ -296,6 +296,55 @@ object Pipeline {
       |FROM q WHERE quality >= 0.6
       |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
 
+  /** typed_map_groups — the typed per-group imperative API
+    * (`Dataset.groupByKey.mapGroups`, the batch sibling of C15's
+    * flatMapGroupsWithState): per language, a single typed pass finds
+    * the longest document (ties toward the lower doc_id) and exact
+    * char totals. The fold is order-insensitive (max by a total order,
+    * integer sums), so the nondeterministic group-iterator order can't
+    * perturb the output — the same discipline the streaming custom
+    * state op applies. Plans as one shuffle on the group key with
+    * object serialization only inside the group stage; used when logic
+    * genuinely doesn't decompose into Column expressions.
+    */
+  def typedMapGroups(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (lang, rows) =>
+        var bestId = Long.MaxValue
+        var bestChars = -1L
+        var nDocs = 0L
+        var sumChars = 0L
+        rows.foreach { case (_, id, nc) =>
+          nDocs += 1; sumChars += nc
+          if (nc > bestChars || (nc == bestChars && id < bestId)) {
+            bestChars = nc; bestId = id
+          }
+        }
+        (lang, nDocs, sumChars, bestId, bestChars)
+      }
+      .toDF("lang", "n_docs", "sum_chars", "longest_doc_id", "longest_chars")
+      .orderBy("lang")
+  }
+  val typedMapGroupsSql: String =
+    """WITH agg AS (
+      |  SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |    max(n_chars) AS longest_chars
+      |  FROM documents GROUP BY lang),
+      |top AS (
+      |  SELECT lang, doc_id AS longest_doc_id FROM (
+      |    SELECT lang, doc_id,
+      |      row_number() OVER (PARTITION BY lang
+      |        ORDER BY n_chars DESC, doc_id ASC) AS rn
+      |    FROM documents) t
+      |  WHERE rn = 1)
+      |SELECT agg.lang, n_docs, sum_chars, longest_doc_id, longest_chars
+      |FROM agg JOIN top ON agg.lang = top.lang
+      |ORDER BY agg.lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cluster_cc" -> (dedupClusterCc _),
     "sample_split_train" -> (sampleSplitTrain _),
@@ -303,6 +352,7 @@ object Pipeline {
     "text_pii_redact" -> (textPiiRedact _),
     "win_session_batch" -> (winSessionBatch _),
     "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
+    "typed_map_groups" -> (typedMapGroups _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -314,5 +364,6 @@ object Pipeline {
     // batch formulation — identical contract for the batch twin
     "win_session_batch" -> Streaming.streamSessionWindowSql,
     "pipeline_clean_corpus" -> pipelineCleanCorpusSql,
+    "typed_map_groups" -> typedMapGroupsSql,
   )
 }
