@@ -4,6 +4,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // optional comma-list of query names for targeted timing runs
+    val only: Option[Set[String]] =
+      args.headOption.filter(_.nonEmpty).map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,25 +18,34 @@ object Bench {
     // one-time JVM/session setup
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal seconds: ~ms resolution is all the comparison needs, and
+    // the shorter line keeps the whole JSON inside the driver's log-tail
+    // capture window (full-precision doubles overflowed it in r2 →
+    // "parsed": null)
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The bare JSON line can drown in sbt/Spark log noise; emit it three
-    // ways so any parser finds it: plain, behind a unique marker, and as
-    // a file next to the repo.
-    println(json)
-    println(s"BENCH_JSON: $json")
+    val json =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Emit three ways so any parser finds it: a file, the plain line,
+    // and (last — closest to the end of the captured log) a marker line.
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
         json.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
+    println(json)
+    println(s"BENCH_JSON: $json")
     spark.stop()
   }
 }

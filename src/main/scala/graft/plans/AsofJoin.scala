@@ -5,12 +5,13 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
-  JoinedRow, SortOrder, UnsafeProjection}
+  JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.DataType
 
 /** Native ASOF join — the whole-operator extension tier (§2-A A-series
   * "operators Spark lacks", builder brief option (c)): a custom
@@ -40,6 +41,24 @@ case class AsofJoin(
     leftTime: Expression,
     rightTime: Expression,
     rightTie: Expression) extends BinaryNode {
+  // Fail at construction, not mid-merge: the exec's orderings are built
+  // from the LEFT expressions' types but compare values evaluated from
+  // the right side — mismatched pairs would hit a runtime
+  // ClassCastException (or silently wrong ordering) inside doExecute.
+  if (Seq(leftKey, rightKey, leftTime, rightTime, rightTie).forall(_.resolved)) {
+    require(DataType.equalsStructurally(
+        leftKey.dataType, rightKey.dataType, ignoreNullability = true),
+      s"ASOF key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
+    require(DataType.equalsStructurally(
+        leftTime.dataType, rightTime.dataType, ignoreNullability = true),
+      s"ASOF time types differ: ${leftTime.dataType} vs ${rightTime.dataType}")
+    require(RowOrdering.isOrderable(leftKey.dataType),
+      s"ASOF key type not orderable: ${leftKey.dataType}")
+    require(RowOrdering.isOrderable(leftTime.dataType),
+      s"ASOF time type not orderable: ${leftTime.dataType}")
+    require(RowOrdering.isOrderable(rightTie.dataType),
+      s"ASOF tie-break type not orderable: ${rightTie.dataType}")
+  }
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -147,7 +166,11 @@ case class AsofJoinExec(
               if (c < 0) { matchRow = null; rBuf.next() }
               else if (c == 0 && timeOrd.compare(rtv, ltv) <= 0) {
                 matchRow = rBuf.next().copy() // sorted: each later row is a better match
-                matchKey = lkv
+                // derive the stored key from the COPIED row: the raw
+                // eval result (lkv/rkv) of a non-primitive key
+                // (string/decimal/binary) can reference the sort
+                // iterator's reused backing buffer and mutate under us
+                matchKey = rkB.eval(matchRow)
               } else scan = false // right is ahead; future lefts may need it
             }
           }

@@ -394,6 +394,15 @@ object RefSurface {
     * assignment is hash(doc_id) partitioning and entries are written
     * in sorted order, so archives are deterministic modulo zip
     * timestamps (which the listing ignores).
+    *
+    * LOCAL-MODE ASSUMPTION (like the other fixture-staging queries):
+    * tasks write into a driver-created temp dir and the read-back
+    * scans the same path, which only works because driver and
+    * executors share one filesystem here. The production shape routes
+    * each task's archive through a shared, committed output location
+    * (object store / DFS with a commit protocol) so failed or
+    * speculative task attempts can't leave truncated or duplicate
+    * archives behind; the per-task-archive *structure* is unchanged.
     */
   def refZipExport(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

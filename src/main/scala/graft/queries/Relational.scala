@@ -146,7 +146,12 @@ object Relational {
     * its bucket so each bucket is exactly one file.
     */
   def joinBucketedColocated(s: SparkSession, d: String): DataFrame = {
-    val tag = java.lang.Integer.toHexString(d.hashCode & 0x7fffffff)
+    // Table names carry the JVM pid: the backing data lives in this
+    // process's temp dir, so with a persistent metastore a *previous*
+    // process's registration (same dir hash, data long gone) must not
+    // satisfy the tableExists guard below.
+    val tag = java.lang.Long.toHexString(ProcessHandle.current().pid()) +
+      "_" + java.lang.Integer.toHexString(d.hashCode & 0x7fffffff)
     val to = s"graft_bkt_orders_$tag"
     val tc = s"graft_bkt_customer_$tag"
     this.synchronized {
