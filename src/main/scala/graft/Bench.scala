@@ -23,6 +23,11 @@ object Bench {
       case None => SparkEntry.queries
     }
     val results = selected.map { case (name, fn) =>
+      // measurement isolation: collect the previous query's garbage
+      // OUTSIDE the timed region so its GC pauses don't land in this
+      // query's wall time (with 100+ queries on one JVM the cross-query
+      // pressure inflated isolated-run-sub-second queries to multi-sec)
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

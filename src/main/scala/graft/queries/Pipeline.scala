@@ -25,11 +25,14 @@ object Pipeline {
     * Rounds = component diameter, and near-dup clusters are short by
     * construction (a chain of pairwise-similar docs); each round
     * shuffles O(|E|) rows by node id — no driver-side graph. The
-    * convergence probe asks whether any label changed this round (an
-    * equi-join of consecutive label frames + limit-1 action — not a
-    * label-sum aggregate, which can overflow int64 on a 10¹⁰-node
-    * corpus). The fixpoint is unique, so the result is deterministic
-    * regardless of join/iteration order.
+    * convergence probe rides the SAME aggregation: each node's own
+    * previous label travels as a second aggregate (max over rows where
+    * the label came from the node itself), so "any label changed" is a
+    * filter + limit-1 action on the already-persisted round output —
+    * no per-round join of consecutive label frames, and no label-sum
+    * aggregate (which can overflow int64 on a 10¹⁰-node corpus). The
+    * fixpoint is unique, so the result is deterministic regardless of
+    * join/iteration order.
     *
     * Oracle: DuckDB WITH RECURSIVE reachability walk seeded (id, id),
     * min label per node — an independent formulation of the same
@@ -41,19 +44,21 @@ object Pipeline {
       .toDF("src", "dst").persist()
     var comp = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp")).persist()
+    var cached = comp // the persisted frame backing comp (for unpersist)
     var converged = false
     while (!converged) {
+      // own = null for neighbor-contributed rows, the node's previous
+      // label for its self row — max(own) recovers it (exactly one
+      // self row per id), so change detection is free in this pass
       val next = comp.join(sym, col("id") === col("src"))
-        .select(col("dst").as("id"), col("comp"))
-        .union(comp.select(col("id"), col("comp")))
-        .groupBy("id").agg(min("comp").as("comp"))
+        .select(col("dst").as("id"), col("comp"), lit(null).cast("long").as("own"))
+        .union(comp.select(col("id"), col("comp"), col("comp").as("own")))
+        .groupBy("id").agg(min("comp").as("comp"), max("own").as("own"))
         .persist()
-      converged = next.join(
-          comp.select(col("id"), col("comp").as("prev")), Seq("id"))
-        .filter(col("comp") =!= col("prev"))
-        .isEmpty
-      comp.unpersist()
-      comp = next
+      converged = next.filter(col("comp") =!= col("own")).isEmpty
+      cached.unpersist()
+      cached = next
+      comp = next.select("id", "comp")
     }
     val out = comp
       .groupBy("comp")
@@ -65,7 +70,7 @@ object Pipeline {
       // truncate the iterative lineage (one small row per cluster) so the
       // caches can be released; on a cluster this is checkpoint()
       .localCheckpoint(true)
-    comp.unpersist()
+    cached.unpersist()
     sym.unpersist()
     out
   }
