@@ -19,6 +19,7 @@ object SparkEntry {
     graft.queries.RefSurface.queries ++
     graft.queries.Analytics.queries ++
     graft.queries.Extras2.queries ++
+    graft.queries.Extras3.queries ++
     graft.queries.Pipeline.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
     graft.queries.RefSurface.oracle ++
     graft.queries.Analytics.oracle ++
     graft.queries.Extras2.oracle ++
+    graft.queries.Extras3.oracle ++
     graft.queries.Pipeline.oracle
 }

@@ -1,0 +1,361 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Third wave of coverage operators: the scale-safe binned range join,
+  * exact heavy hitters, unpivot/melt, rank-distribution windows,
+  * conditional scalar battery, SCD2 interval builds, TF-IDF term
+  * ranking, stratified sampling, bloom-prefiltered joins, and LATERAL
+  * top-k — each with a DuckDB oracle.
+  */
+object Extras3 {
+
+  /** join_range_binned — the scale-safe form of a pure interval join
+    * (no equi-key anywhere): count, per purchase event, the view
+    * events (ANY user) in the preceding 60 seconds. A nested-loop
+    * theta join is O(|P|·|V|); instead both sides are keyed by a
+    * minute bucket — each 60-second window spans exactly two calendar
+    * minutes, so the interval side explodes into its two covering
+    * buckets and the point side keys by its own bucket. The theta
+    * predicate then rides a plain equi-shuffle join (each candidate
+    * pair meets in exactly one bucket — the point's own — so no
+    * dedup), and the exact range filter prunes within buckets. At
+    * 100 TB this is one hash shuffle by bucket with ~2× fan-out of
+    * the smaller side instead of a broadcast-nested-loop over the
+    * cross product; bucket width tunes fan-out vs candidate ratio.
+    */
+  def joinRangeBinned(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("ts").as("v_ts"),
+        date_trunc("minute", col("ts")).as("v_bucket"))
+    val pb = p.select(col("p_id"), col("p_ts"),
+      explode(array(
+        date_trunc("minute", col("p_ts") - expr("INTERVAL 60 SECONDS")),
+        date_trunc("minute", col("p_ts")))).as("p_bucket"))
+    val cnt = pb.join(v,
+        col("p_bucket") === col("v_bucket") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 60 SECONDS") &&
+        col("v_ts") <= col("p_ts"))
+      .groupBy("p_id").agg(count(lit(1)).as("n_views"))
+    p.join(cnt, Seq("p_id"), "left_outer")
+      .select(col("p_id"), coalesce(col("n_views"), lit(0L)).as("n_views"))
+      .orderBy("p_id")
+  }
+  val joinRangeBinnedSql: String =
+    """WITH p AS (SELECT event_id AS p_id, ts AS p_ts FROM events
+      |           WHERE event_type = 'purchase'),
+      |v AS (SELECT ts AS v_ts FROM events WHERE event_type = 'view')
+      |SELECT p.p_id, count(v.v_ts) AS n_views
+      |FROM p LEFT JOIN v
+      |  ON v.v_ts >= p.p_ts - INTERVAL 60 SECOND AND v.v_ts <= p.p_ts
+      |GROUP BY p.p_id ORDER BY p.p_id""".stripMargin
+
+  /** agg_frequent_items — exact heavy hitters: tokens present in ≥5%
+    * of documents. Tokens are de-duplicated per document BEFORE the
+    * global count (array_distinct rides the scan — document frequency,
+    * not term frequency), so the shuffle carries one row per
+    * (doc, distinct token). The 5% threshold compares integers
+    * (n_docs·20 ≥ N) — no float in the filter; the published share is
+    * one exact-int IEEE division. The total-count side is a one-row
+    * broadcast. At scale this is the exact verification pass behind
+    * sketch-based top-k (count-min / SpaceSaving): same shape, full
+    * precision.
+    */
+  def aggFrequentItems(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val total = docs.agg(count(lit(1)).as("total"))
+    docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(total))
+      .filter(col("n_docs") * 20 >= col("total"))
+      .select(col("token"), col("n_docs"),
+        (col("n_docs").cast("double") / col("total")).as("share"))
+      .orderBy("token")
+  }
+  val aggFrequentItemsSql: String =
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |n AS (SELECT count(*) AS total FROM documents)
+      |SELECT token, count(*) AS n_docs,
+      |  CAST(count(*) AS DOUBLE) / total AS share
+      |FROM toks, n GROUP BY token, total
+      |HAVING count(*) * 20 >= total
+      |ORDER BY token""".stripMargin
+
+  /** agg_unpivot — melt a wide per-nation metrics frame into tidy
+    * (key, metric, value) rows via the native UNPIVOT operator
+    * (Dataset.unpivot — a Generate under the hood, no shuffle of its
+    * own: row-local fan-out riding the aggregation output). The wide
+    * frame is the C26 pivot's inverse; all measures are cast to one
+    * type (double) because melt requires a homogeneous value column.
+    */
+  def aggUnpivot(s: SparkSession, d: String): DataFrame = {
+    val wide = customer(s, d)
+      .groupBy("c_nationkey")
+      .agg(
+        count(lit(1)).cast("double").as("n_customers"),
+        dsum(col("c_acctbal")).as("sum_acctbal"))
+    wide.unpivot(
+        Array(col("c_nationkey")),
+        Array(col("n_customers"), col("sum_acctbal")),
+        "metric", "value")
+      .orderBy("c_nationkey", "metric")
+  }
+  val aggUnpivotSql: String =
+    s"""WITH w AS (
+       |  SELECT c_nationkey, CAST(count(*) AS DOUBLE) AS n_customers,
+       |    ${dsumSql("c_acctbal")} AS sum_acctbal
+       |  FROM customer GROUP BY c_nationkey)
+       |SELECT c_nationkey, 'n_customers' AS metric, n_customers AS value FROM w
+       |UNION ALL
+       |SELECT c_nationkey, 'sum_acctbal' AS metric, sum_acctbal AS value FROM w
+       |ORDER BY c_nationkey, metric""".stripMargin
+
+  /** win_cume_dist — the rank-distribution analytics beside B24's
+    * ntile: percent_rank ((rank−1)/(n−1)) and cume_dist (peers≤ / n)
+    * per market segment over account balance. Both are exact integer
+    * ratios finished by one IEEE division — engine-identical — and
+    * both are tie-aware by definition, so no unique tie-break is
+    * needed inside the window (the OUTPUT order still pins one).
+    * Scale: per-segment windows partition the shuffle; no global sort.
+    */
+  def winCumeDist(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    customer(s, d).select(
+        col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cum_dist"))
+      .orderBy("c_mktsegment", "c_acctbal", "c_custkey")
+  }
+  val winCumeDistSql: String =
+    """SELECT c_mktsegment, c_custkey, c_acctbal,
+      |  percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+      |    AS pct_rank,
+      |  cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+      |    AS cum_dist
+      |FROM customer
+      |ORDER BY c_mktsegment, c_acctbal, c_custkey""".stripMargin
+
+  /** cond_funcs — the conditional scalar battery: multi-branch CASE,
+    * NULLIF∘COALESCE (sentinel → null → default), LEAST/GREATEST over
+    * dates. All row-local codegen'd expressions riding the scan —
+    * the point is cross-engine semantic agreement (branch order,
+    * null propagation, date comparison), not plan shape.
+    */
+  def condFuncs(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 200000, "big")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("small").as("size_class"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open"))
+          .as("status_or_open"),
+        least(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .as("date_floor95"),
+        greatest(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .as("date_cap95"))
+      .orderBy("o_orderkey")
+  val condFuncsSql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_totalprice > 200000 THEN 'big'
+      |       WHEN o_totalprice > 100000 THEN 'mid'
+      |       ELSE 'small' END AS size_class,
+      |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+      |  least(o_orderdate, DATE '1995-01-01') AS date_floor95,
+      |  greatest(o_orderdate, DATE '1995-01-01') AS date_cap95
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** dim_scd2_intervals — build a type-2 slowly-changing dimension
+    * from an ordered change history: each customer's orders become
+    * validity intervals [valid_from, valid_to) via lead() over
+    * (custkey, date, key), the open interval marked current. One
+    * window shuffle partitioned by the dimension key — the standard
+    * distributed SCD2 build (no self-join, no driver loop); at 100 TB
+    * the partition key spreads and the frame is (1 following), so
+    * state per key is O(1).
+    */
+  def dimScd2Intervals(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderdate").as("valid_from"),
+        lead(col("o_orderdate"), 1).over(w).as("valid_to"))
+      .withColumn("is_current",
+        when(col("valid_to").isNull, 1).otherwise(0))
+      .orderBy("o_custkey", "valid_from", "o_orderkey")
+  }
+  val dimScd2IntervalsSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderstatus,
+      |  o_orderdate AS valid_from,
+      |  lead(o_orderdate, 1) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to,
+      |  CASE WHEN lead(o_orderdate, 1) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL
+      |    THEN 1 ELSE 0 END AS is_current
+      |FROM orders
+      |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin
+
+  /** text_tfidf_topterms — per-document top-3 terms by TF-IDF. The
+    * idf is kept RATIONAL (tf·N/df as one exact-int product finished
+    * by one IEEE division) instead of log-scaled: ln() is libm- and
+    * engine-specific, and monotone transforms don't change the
+    * ranking — determinism by construction, not tolerance. Shape:
+    * token explode → (doc,term) count → per-term doc frequency →
+    * broadcast N → per-doc window top-3; the df table is term-keyed
+    * (vocabulary-sized, ≪ corpus) and the final window partitions by
+    * doc. Ties break on term asc.
+    */
+  def textTfidfTopterms(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val total = docs.agg(count(lit(1)).as("total"))
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(total))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        ((col("tf") * col("total")).cast("double") / col("df")).as("score"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "term", "tf", "df", "score", "rk")
+      .orderBy("doc_id", "rk")
+  }
+  val textTfidfTopterms_Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS total FROM documents),
+      |sc AS (
+      |  SELECT doc_id, tf.term AS term, tf, df,
+      |    CAST(tf * total AS DOUBLE) / df AS score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY CAST(tf * total AS DOUBLE) / df DESC, tf.term) AS rk
+      |  FROM tf JOIN dfreq USING (term), n)
+      |SELECT doc_id, term, tf, df, score, rk
+      |FROM sc WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  /** sample_stratified — per-stratum sampling rates (en 50%, other
+    * languages 20%) decided by the md5 hash of the stable key — the
+    * deterministic form of `DataFrame.stat.sampleBy` (whose seeded
+    * sampling is engine-specific): assignment survives reshuffling,
+    * re-runs, and corpus growth, and the rate is auditable from the
+    * hash threshold. One map-side-combinable aggregation; counts per
+    * stratum published beside the sampled size.
+    */
+  def sampleStratified(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 2))
+      .withColumn("thresh", when(col("lang") === "en", "80").otherwise("33"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("h") < col("thresh"), 1)).as("n_sampled"))
+      .orderBy("lang")
+  val sampleStratifiedSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  count(*) FILTER (
+      |    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+      |      CASE WHEN lang = 'en' THEN '80' ELSE '33' END) AS n_sampled
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** join_bloom_prefilter — the runtime-filter pattern made explicit:
+    * build a bloom filter over the SELECTIVE dimension's join keys
+    * (DataFrameStatFunctions.bloomFilter — a distributed, mergeable
+    * sketch aggregation), broadcast it, and prune the fact scan
+    * BEFORE the shuffle; the exact join then removes the false
+    * positives, so the result is bit-identical to the plain join
+    * (which is the oracle). This is what Spark's own
+    * runtime.bloomFilter optimization injects at scale — written out
+    * so the mechanism is visible and tunable (n≈dim keys, fpp 1%).
+    * At 100 TB the win is shuffle volume: only ~sel+fpp of the fact
+    * rows leave the scan stage. The mightContain probe is a UDF by
+    * necessity (the sketch is an opaque JVM object; no builtin
+    * Column form) — row-local, no state, broadcast-shared.
+    */
+  def joinBloomPrefilter(s: SparkSession, d: String): DataFrame = {
+    val dim = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    val bf = dim.stat.bloomFilter("o_orderkey", 100000, 0.01)
+    val bfB = s.sparkContext.broadcast(bf)
+    val might = udf((k: Long) => bfB.value.mightContain(k))
+    lineitem(s, d)
+      .filter(might(col("l_orderkey")))
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsumx(dec(col("l_extendedprice")) * oneMinus(col("l_discount")))
+          .as("revenue"))
+      .orderBy("l_returnflag")
+  }
+  val joinBloomPrefilterSql: String =
+    s"""SELECT l_returnflag, count(*) AS n_items,
+       |  ${dsumxSql(s"${decSql("l_extendedprice")} * ${oneMinusSql("l_discount")}")}
+       |    AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_orderpriority = '1-URGENT'
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** join_lateral_topk — correlated LATERAL subquery: for every
+    * nation, its top-2 customers by account balance. Catalyst
+    * decorrelates the lateral into a per-key window/limit (no
+    * per-row re-execution — the rewrite is the whole point: the
+    * naive reading is O(|nation|) subquery runs, the plan is one
+    * partitioned top-k). Ties break on custkey.
+    */
+  def joinLateralTopk(s: SparkSession, d: String): DataFrame = {
+    nation(s, d).createOrReplaceTempView("graft_nation_lat")
+    customer(s, d).createOrReplaceTempView("graft_cust_lat")
+    s.sql("""
+      SELECT n.n_nationkey, n.n_name, t.c_custkey, t.c_acctbal
+      FROM graft_nation_lat n,
+      LATERAL (SELECT c_custkey, c_acctbal FROM graft_cust_lat c
+               WHERE c.c_nationkey = n.n_nationkey
+               ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+      ORDER BY n.n_nationkey, t.c_acctbal DESC, t.c_custkey
+    """)
+  }
+  val joinLateralTopkSql: String =
+    """SELECT n.n_nationkey, n.n_name, t.c_custkey, t.c_acctbal
+      |FROM nation n,
+      |LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+      |         WHERE c.c_nationkey = n.n_nationkey
+      |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+      |ORDER BY n.n_nationkey, t.c_acctbal DESC, t.c_custkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_range_binned" -> (joinRangeBinned _),
+    "agg_frequent_items" -> (aggFrequentItems _),
+    "agg_unpivot" -> (aggUnpivot _),
+    "win_cume_dist" -> (winCumeDist _),
+    "cond_funcs" -> (condFuncs _),
+    "dim_scd2_intervals" -> (dimScd2Intervals _),
+    "text_tfidf_topterms" -> (textTfidfTopterms _),
+    "sample_stratified" -> (sampleStratified _),
+    "join_bloom_prefilter" -> (joinBloomPrefilter _),
+    "join_lateral_topk" -> (joinLateralTopk _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "join_range_binned" -> joinRangeBinnedSql,
+    "agg_frequent_items" -> aggFrequentItemsSql,
+    "agg_unpivot" -> aggUnpivotSql,
+    "win_cume_dist" -> winCumeDistSql,
+    "cond_funcs" -> condFuncsSql,
+    "dim_scd2_intervals" -> dimScd2IntervalsSql,
+    "text_tfidf_topterms" -> textTfidfTopterms_Sql,
+    "sample_stratified" -> sampleStratifiedSql,
+    "join_bloom_prefilter" -> joinBloomPrefilterSql,
+    "join_lateral_topk" -> joinLateralTopkSql,
+  )
+}

@@ -176,6 +176,22 @@ class PlanSpec extends SparkSpec {
     assert(df.count() == expected, "phrase rewrite changed the result")
   }
 
+  test("join_range_binned plans as an equi-join on the bucket, not a nested loop") {
+    val p = plan(graft.queries.Extras3.joinRangeBinned(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"binning failed to turn the interval join into an equi-join:\n$p")
+    // the theta predicate must survive as the join's residual condition
+    assert(p.contains("v_ts"), s"range predicate missing from plan:\n$p")
+  }
+
+  test("join_lateral_topk decorrelates into a per-group window limit") {
+    val p = plan(graft.queries.Extras3.joinLateralTopk(spark, sf))
+    // Catalyst rewrites the correlated LATERAL LIMIT into WindowGroupLimit
+    // (partial+final top-k pushdown) + one join — not per-row re-execution
+    assert(p.contains("WindowGroupLimit"),
+      s"lateral subquery not decorrelated into a window group limit:\n$p")
+  }
+
   test("text-index rule leaves non-indexed columns to the scan path") {
     import org.apache.spark.sql.functions.{col, expr, lower}
     graft.queries.RefSurface.refTextIndexSearch(spark, sf).count() // ensures index enabled
