@@ -333,6 +333,181 @@ object Extras3 {
       |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
       |ORDER BY n.n_nationkey, t.c_acctbal DESC, t.c_custkey""".stripMargin
 
+  /** scan_text_source — the line-oriented `text` source/sink as a
+    * fourth format beside parquet/CSV/JSON: docs serialize to
+    * tab-delimited lines (corpus verified tab/newline-free), read
+    * back through `spark.read.text`, split on the FIRST tab only
+    * (limit-2 split — text may contain further tabs in general), and
+    * prove the round trip by re-deriving a value the oracle computes
+    * from the source table. The text source is the 100 TB ingest
+    * format for raw corpora: splittable, schema-free, one row per
+    * line.
+    */
+  def scanTextSource(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_txt_").toString + "/docs"
+    documents(s, d)
+      .select(concat(col("doc_id").cast("string"), lit("\t"), col("text")).as("value"))
+      .write.mode("overwrite").text(tmp)
+    s.read.text(tmp)
+      .select(
+        split(col("value"), "\t", 2).getItem(0).cast("bigint").as("doc_id"),
+        split(col("value"), "\t", 2).getItem(1).as("text"))
+      .select(col("doc_id"), length(col("text")).cast("bigint").as("n_chars_rt"))
+      .orderBy("doc_id")
+  }
+  val scanTextSourceSql: String =
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_rt
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** hof_array_reduce — the higher-order-function battery with SCALAR
+    * outputs (B35 covered element access; this is transform / filter /
+    * aggregate / containment as codegen'd lambda pipelines): per doc,
+    * token-length sum via aggregate(transform(...)), max length,
+    * long-token count via size(filter(...)), and membership. All
+    * integer math — HOF fold order is sequential in both engines but
+    * int addition is order-free anyway.
+    */
+  def hofArrayReduce(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+        col("doc_id"),
+        expr("aggregate(transform(split(text, ' '), t -> length(t)), 0L, (acc, x) -> acc + x)")
+          .as("sum_len"),
+        expr("array_max(transform(split(text, ' '), t -> length(t)))")
+          .cast("bigint").as("max_len"),
+        expr("size(filter(split(text, ' '), t -> length(t) >= 6))")
+          .cast("bigint").as("n_long"),
+        when(array_contains(split(col("text"), " "), "data"), 1).otherwise(0)
+          .as("has_data"))
+      .orderBy("doc_id")
+  val hofArrayReduceSql: String =
+    """SELECT doc_id,
+      |  CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t)))
+      |    AS BIGINT) AS sum_len,
+      |  CAST(list_max(list_transform(string_split(text, ' '), t -> length(t)))
+      |    AS BIGINT) AS max_len,
+      |  CAST(len(list_filter(string_split(text, ' '), t -> length(t) >= 6))
+      |    AS BIGINT) AS n_long,
+      |  CASE WHEN list_contains(string_split(text, ' '), 'data')
+      |    THEN 1 ELSE 0 END AS has_data
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** store_time_travel — snapshot versioning over the keyed store
+    * (C20's CRUD surface): init → upsert → delete produce manifests
+    * v1..v3; the query reads v1 (time travel) and CURRENT in the same
+    * plan and publishes the per-priority drift between them. Segments
+    * are immutable and manifests are retained, so `readAt(v)` is a
+    * pure metadata operation — the Delta/Iceberg `VERSION AS OF`
+    * mechanism at any scale (the manifest lists segment dirs; no data
+    * is copied to keep history).
+    */
+  def storeTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft_tt_").toString + "/orders"
+    val store = new graft.sources.DatasetStore(s, path, "o_orderkey")
+    val base = orders(s, d)
+    store.init(base) // v1
+    store.upsert(base.filter(col("o_orderpriority") === "1-URGENT")
+      .withColumn("o_totalprice",
+        (dec(col("o_totalprice")) + lit(25.50).cast(M)).cast("double"))) // v2
+    store.delete(col("o_orderstatus") === "P") // v3
+    val a1 = store.readAt(1).groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_v1"), dsum(col("o_totalprice")).as("total_v1"))
+    val now = store.read().groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_now"), dsum(col("o_totalprice")).as("total_now"))
+    a1.join(now, Seq("o_orderpriority"))
+      .orderBy("o_orderpriority")
+  }
+  val storeTimeTravelSql: String =
+    s"""WITH v1 AS (
+       |  SELECT o_orderpriority, count(*) AS n_v1,
+       |    ${dsumSql("o_totalprice")} AS total_v1
+       |  FROM orders GROUP BY o_orderpriority),
+       |nw AS (
+       |  SELECT o_orderpriority, count(*) AS n_now,
+       |    ${dsumSql("o_totalprice")} AS total_now
+       |  FROM (
+       |    SELECT o_orderpriority, o_orderstatus,
+       |      CASE WHEN o_orderpriority = '1-URGENT'
+       |           THEN CAST(CAST(o_totalprice AS DECIMAL(14,2))
+       |                     + CAST(25.50 AS DECIMAL(14,2)) AS DOUBLE)
+       |           ELSE o_totalprice END AS o_totalprice
+       |    FROM orders) t
+       |  WHERE o_orderstatus <> 'P'
+       |  GROUP BY o_orderpriority)
+       |SELECT o_orderpriority, n_v1, total_v1, n_now, total_now
+       |FROM v1 JOIN nw USING (o_orderpriority)
+       |ORDER BY o_orderpriority""".stripMargin
+
+  /** join_reused_exchange — week-over-week revenue: one aggregation
+    * (priority × day) self-joined at a 7-day lag. The two join inputs
+    * are the IDENTICAL subplan, and Spark's exchange reuse detects it
+    * — the aggregation computes and shuffles ONCE (ReusedExchange in
+    * the plan, PlanSpec-asserted). At 100 TB that halves the heavy
+    * scan+agg work; the pattern generalizes to any self-comparison
+    * (WoW/YoY, cohort vs cohort) — write the same plan twice and let
+    * the optimizer dedupe, no manual caching.
+    */
+  def joinReusedExchange(s: SparkSession, d: String): DataFrame = {
+    def daily = orders(s, d)
+      .groupBy("o_orderpriority", "o_orderdate")
+      .agg(dsum(col("o_totalprice")).as("total"))
+    val cur = daily
+    val prev = daily
+      .withColumnsRenamed(Map("o_orderdate" -> "prev_date", "total" -> "total_prev7"))
+    cur.join(prev,
+        cur("o_orderpriority") === prev("o_orderpriority") &&
+        prev("prev_date") === cur("o_orderdate") - expr("INTERVAL 7 DAYS"))
+      .select(cur("o_orderpriority"), col("o_orderdate"), col("total"), col("total_prev7"))
+      .orderBy("o_orderpriority", "o_orderdate")
+  }
+  val joinReusedExchangeSql: String =
+    s"""WITH ag AS (
+       |  SELECT o_orderpriority, o_orderdate,
+       |    ${dsumSql("o_totalprice")} AS total
+       |  FROM orders GROUP BY o_orderpriority, o_orderdate)
+       |SELECT a.o_orderpriority, a.o_orderdate, a.total AS total,
+       |  b.total AS total_prev7
+       |FROM ag a JOIN ag b
+       |  ON a.o_orderpriority = b.o_orderpriority
+       | AND b.o_orderdate = a.o_orderdate - INTERVAL 7 DAY
+       |ORDER BY a.o_orderpriority, a.o_orderdate""".stripMargin
+
+  /** typed_agg_column — a typed `Aggregator` flowing through the
+    * typed aggregation path (`groupByKey(...).agg(agg.toColumn)`),
+    * the compile-time-checked sibling of B39's untyped `udaf()`
+    * registration: quantity-weighted average price per return flag.
+    * The buffer is a pair of exact longs (cents·qty, qty) — integer
+    * merge in any order, one final IEEE division; Catalyst plans it
+    * as a two-phase object hash aggregate.
+    */
+  def typedAggColumn(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val prepared = lineitem(s, d).select(
+        col("l_returnflag").as("flag"),
+        (dec(col("l_extendedprice")) * 100).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("qty"))
+      .as[(String, Long, Long)]
+    val wavg = new org.apache.spark.sql.expressions.Aggregator[
+        (String, Long, Long), (Long, Long), Double] {
+      def zero: (Long, Long) = (0L, 0L)
+      def reduce(b: (Long, Long), a: (String, Long, Long)): (Long, Long) =
+        (b._1 + a._2 * a._3, b._2 + a._3)
+      def merge(x: (Long, Long), y: (Long, Long)): (Long, Long) =
+        (x._1 + y._1, x._2 + y._2)
+      def finish(r: (Long, Long)): Double = r._1.toDouble / r._2.toDouble
+      def bufferEncoder = implicitly[org.apache.spark.sql.Encoder[(Long, Long)]]
+      def outputEncoder = implicitly[org.apache.spark.sql.Encoder[Double]]
+    }
+    prepared.groupByKey(_._1)
+      .agg(wavg.toColumn.name("wavg_cents"))
+      .toDF("l_returnflag", "wavg_cents")
+      .orderBy("l_returnflag")
+  }
+  val typedAggColumnSql: String =
+    s"""SELECT l_returnflag,
+       |  CAST(sum(CAST(${decSql("l_extendedprice")} * 100 AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+       |  / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS wavg_cents
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_range_binned" -> (joinRangeBinned _),
     "agg_frequent_items" -> (aggFrequentItems _),
@@ -344,6 +519,11 @@ object Extras3 {
     "sample_stratified" -> (sampleStratified _),
     "join_bloom_prefilter" -> (joinBloomPrefilter _),
     "join_lateral_topk" -> (joinLateralTopk _),
+    "scan_text_source" -> (scanTextSource _),
+    "hof_array_reduce" -> (hofArrayReduce _),
+    "store_time_travel" -> (storeTimeTravel _),
+    "join_reused_exchange" -> (joinReusedExchange _),
+    "typed_agg_column" -> (typedAggColumn _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -357,5 +537,10 @@ object Extras3 {
     "sample_stratified" -> sampleStratifiedSql,
     "join_bloom_prefilter" -> joinBloomPrefilterSql,
     "join_lateral_topk" -> joinLateralTopkSql,
+    "scan_text_source" -> scanTextSourceSql,
+    "hof_array_reduce" -> hofArrayReduceSql,
+    "store_time_travel" -> storeTimeTravelSql,
+    "join_reused_exchange" -> joinReusedExchangeSql,
+    "typed_agg_column" -> typedAggColumnSql,
   )
 }

@@ -30,6 +30,14 @@ class DatasetStore(spark: SparkSession, path: String, keyCol: String) {
   private val root = new File(path)
   private val seq = new AtomicLong(0)
   private def currentFile = new File(root, "CURRENT")
+  private def manifestFile(v: Long) = new File(root, s"MANIFEST.v$v")
+  private val ManifestName = "MANIFEST\\.v(\\d+)".r
+
+  /** Committed snapshot versions, ascending (1-based). */
+  def versions(): Seq[Long] =
+    Option(root.list()).getOrElse(Array.empty).collect {
+      case ManifestName(v) => v.toLong
+    }.sorted.toSeq
 
   /** Live segment dirs named by the CURRENT manifest (one per line). */
   private def segments(): Seq[String] = {
@@ -41,6 +49,19 @@ class DatasetStore(spark: SparkSession, path: String, keyCol: String) {
   def read(): DataFrame =
     spark.read.parquet(segments().map(s => new File(root, s).toString): _*)
 
+  /** Time travel: read the store as of snapshot version `v` (from
+    * [[versions]]). Possible because segments are immutable and every
+    * commit's manifest is retained — the same mechanism behind
+    * Delta/Iceberg `VERSION AS OF`. Reading an expired or unknown
+    * version fails loudly.
+    */
+  def readAt(v: Long): DataFrame = {
+    require(manifestFile(v).exists, s"store at $path has no snapshot v$v")
+    val segs = new String(Files.readAllBytes(manifestFile(v).toPath), UTF_8)
+      .split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+    spark.read.parquet(segs.map(s => new File(root, s).toString): _*)
+  }
+
   /** Write one new immutable segment, return its manifest name. */
   private def writeSegment(df: DataFrame): String = {
     val name = s"seg_${System.currentTimeMillis()}_${seq.incrementAndGet()}"
@@ -48,23 +69,49 @@ class DatasetStore(spark: SparkSession, path: String, keyCol: String) {
     name
   }
 
-  /** Atomically replace the manifest; prune segments no longer
-    * referenced (best-effort — a failed prune leaks space, never data).
+  /** Commit: retain the snapshot as a numbered manifest (time travel),
+    * then atomically replace CURRENT; prune segments referenced by NO
+    * retained manifest (best-effort — a failed prune leaks space,
+    * never data). With full history retained nothing prunes until
+    * [[expireSnapshots]] drops old manifests.
     */
   private def commit(segs: Seq[String]): Unit = {
     root.mkdirs()
-    val before = if (currentFile.exists) segments() else Nil
+    val v = versions().lastOption.getOrElse(0L) + 1
+    Files.write(manifestFile(v).toPath, segs.mkString("\n").getBytes(UTF_8))
     val tmp = new File(root, s"CURRENT.tmp.${seq.incrementAndGet()}")
     Files.write(tmp.toPath, segs.mkString("\n").getBytes(UTF_8))
     Files.move(tmp.toPath, currentFile.toPath,
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-    (before.toSet -- segs.toSet).foreach { s =>
-      def rmTree(f: File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rmTree))
-        f.delete()
+    prune()
+  }
+
+  private def referenced(): Set[String] =
+    (versions().flatMap { v =>
+      new String(Files.readAllBytes(manifestFile(v).toPath), UTF_8)
+        .split('\n').map(_.trim).filter(_.nonEmpty)
+    } ++ (if (currentFile.exists) segments() else Nil)).toSet
+
+  private def prune(): Unit = {
+    val live = referenced()
+    Option(root.list()).getOrElse(Array.empty)
+      .filter(_.startsWith("seg_")).filterNot(live)
+      .foreach { s =>
+        def rmTree(f: File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rmTree))
+          f.delete()
+        }
+        rmTree(new File(root, s))
       }
-      rmTree(new File(root, s))
-    }
+  }
+
+  /** Drop all but the newest `keep` snapshot manifests, then prune
+    * newly-unreferenced segments — the storage/time-travel trade-off
+    * knob (Delta's VACUUM / Iceberg's expire_snapshots).
+    */
+  def expireSnapshots(keep: Int): Unit = {
+    versions().dropRight(keep).foreach(v => manifestFile(v).delete())
+    prune()
   }
 
   /** Whether a committed snapshot exists (CURRENT manifest present). */

@@ -192,6 +192,14 @@ class PlanSpec extends SparkSpec {
       s"lateral subquery not decorrelated into a window group limit:\n$p")
   }
 
+  test("join_reused_exchange computes the shared aggregation once") {
+    val df = graft.queries.Extras3.joinReusedExchange(spark, sf)
+    df.collect() // let AQE finalize stages so reuse is visible
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"identical self-join subplans were not deduplicated:\n$p")
+  }
+
   test("text-index rule leaves non-indexed columns to the scan path") {
     import org.apache.spark.sql.functions.{col, expr, lower}
     graft.queries.RefSurface.refTextIndexSearch(spark, sf).count() // ensures index enabled

@@ -88,6 +88,26 @@ class RefSurfaceSpec extends SparkSpec {
     assert(store.read().collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("DatasetStore time travel: every commit is a readable snapshot; expire prunes") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_storespec_").toString + "/tt"
+    val store = new graft.sources.DatasetStore(spark, path, "id")
+    store.init(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"))      // v1
+    store.append(Seq((3L, 30.0)).toDF("id", "v"))                 // v2
+    store.upsert(Seq((2L, 25.0)).toDF("id", "v"))                 // v3
+    assert(store.versions() == Seq(1L, 2L, 3L))
+    assert(store.readAt(1).count() == 2)
+    assert(store.readAt(2).count() == 3)
+    // v2 still sees the pre-upsert value for key 2
+    assert(store.readAt(2).filter(col("id") === 2L).collect()(0).getDouble(1) == 20.0)
+    assert(store.read().filter(col("id") === 2L).collect()(0).getDouble(1) == 25.0)
+    store.expireSnapshots(keep = 1)
+    assert(store.versions() == Seq(3L))
+    intercept[IllegalArgumentException](store.readAt(1))
+    // CURRENT unaffected by expiry
+    assert(store.read().count() == 3)
+  }
+
   test("point-in-polygon truth table (codegen + interpreted agree)") {
     import spark.implicits._
     val square = Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0))
