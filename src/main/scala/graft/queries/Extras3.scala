@@ -508,6 +508,156 @@ object Extras3 {
        |  / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS wavg_cents
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** event_funnel — ordered, windowed funnel analysis (signup → view
+    * within 24 h → purchase within 24 h of that view): each stage's
+    * timestamp must follow the PREVIOUS stage's within the conversion
+    * window, which a flat per-type min cannot express — the funnel is
+    * three chained per-user aggregations, each a join on the user key
+    * + filter + min. All shuffles share the user_id key so the plan
+    * reuses one partitioning across stages; output is the stage
+    * census (24 h window measured: 111/24/15 at sf0.01 — real
+    * drop-off, not a degenerate all-converted funnel).
+    */
+  def eventFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select("user_id", "event_type", "ts")
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t_signup"))
+    val s2 = ev.filter(col("event_type") === "view")
+      .join(s1, "user_id")
+      .filter(col("ts") > col("t_signup") &&
+        col("ts") <= col("t_signup") + expr("INTERVAL 24 HOURS"))
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .filter(col("ts") > col("t_view") &&
+        col("ts") <= col("t_view") + expr("INTERVAL 24 HOURS"))
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    ev.select("user_id").distinct()
+      .join(s1, Seq("user_id"), "left_outer")
+      .join(s2, Seq("user_id"), "left_outer")
+      .join(s3, Seq("user_id"), "left_outer")
+      .select(
+        when(col("t_purchase").isNotNull, "3_purchase")
+          .when(col("t_view").isNotNull, "2_view")
+          .when(col("t_signup").isNotNull, "1_signup")
+          .otherwise("0_none").as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+      .orderBy("stage")
+  }
+  val eventFunnelSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, min(ts) AS t_signup FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t_view
+      |  FROM events e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'view' AND e.ts > s1.t_signup
+      |    AND e.ts <= s1.t_signup + INTERVAL 24 HOUR
+      |  GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t_purchase
+      |  FROM events e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t_view
+      |    AND e.ts <= s2.t_view + INTERVAL 24 HOUR
+      |  GROUP BY e.user_id),
+      |u AS (SELECT DISTINCT user_id FROM events)
+      |SELECT CASE WHEN s3.t_purchase IS NOT NULL THEN '3_purchase'
+      |            WHEN s2.t_view IS NOT NULL THEN '2_view'
+      |            WHEN s1.t_signup IS NOT NULL THEN '1_signup'
+      |            ELSE '0_none' END AS stage,
+      |  count(*) AS n_users
+      |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+      |       LEFT JOIN s3 USING (user_id)
+      |GROUP BY stage ORDER BY stage""".stripMargin
+
+  /** retention_cohorts — the classic cohort-retention triangle: users
+    * cohorted by first-activity day, one row per (cohort, day-offset)
+    * counting users active that day. Two aggregations keyed by
+    * user_id (first-seen + distinct active days) joined on the same
+    * key, then a calendar diff — at 100 TB both aggregations combine
+    * map-side and the join is co-partitioned; the triangle itself is
+    * tiny (days²).
+    */
+  def retentionCohorts(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select("user_id", "ts")
+    val firsts = ev.groupBy("user_id")
+      .agg(date_trunc("day", min("ts")).as("cohort_day"))
+    val activity = ev
+      .select(col("user_id"), date_trunc("day", col("ts")).as("active_day"))
+      .distinct()
+    activity.join(firsts, "user_id")
+      .select(col("cohort_day"),
+        datediff(col("active_day"), col("cohort_day")).cast("bigint")
+          .as("day_offset"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort_day", "day_offset")
+  }
+  val retentionCohortsSql: String =
+    """WITH firsts AS (
+      |  SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+      |  FROM events GROUP BY user_id),
+      |activity AS (
+      |  SELECT DISTINCT user_id, date_trunc('day', ts) AS active_day
+      |  FROM events)
+      |SELECT cohort_day,
+      |  CAST(date_diff('day', cohort_day, active_day) AS BIGINT) AS day_offset,
+      |  count(*) AS n_active
+      |FROM activity JOIN firsts USING (user_id)
+      |GROUP BY cohort_day, day_offset
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
+  /** regexp_funcs — the regex battery beyond B31's literal replace:
+    * capture-group extraction, global char-class replacement (DuckDB
+    * replaces FIRST match by default — the 'g' flag is the parity
+    * trap), match counting, and boolean match. Patterns stay in the
+    * RE2-compatible subset both engines treat identically. All
+    * codegen'd built-ins riding the scan.
+    */
+  def regexpFuncs(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+        col("doc_id"),
+        nullif(regexp_extract(col("text"), "([a-z]{6,})", 1), lit(""))
+          .as("first_long"),
+        length(regexp_replace(col("text"), "[aeiou]", "")).cast("bigint")
+          .as("len_novowel"),
+        regexp_count(col("text"), lit("ing\\b")).cast("bigint").as("n_ing"),
+        when(col("text").rlike("\\bdata\\b"), 1).otherwise(0).as("has_data"))
+      .orderBy("doc_id")
+  val regexpFuncsSql: String =
+    """SELECT doc_id,
+      |  nullif(regexp_extract(text, '([a-z]{6,})', 1), '') AS first_long,
+      |  CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
+      |    AS len_novowel,
+      |  CAST(len(regexp_extract_all(text, 'ing\b')) AS BIGINT) AS n_ing,
+      |  CASE WHEN regexp_matches(text, '\bdata\b') THEN 1 ELSE 0 END
+      |    AS has_data
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** agg_hll_merge — MERGEABLE distinct-count sketches, the property
+    * that makes approximate distinct work at 100 TB: per-type HLL
+    * sketches of the user set (hll_sketch_agg — Apache DataSketches)
+    * are aggregated per shard, then hll_union_agg combines them into
+    * the overall estimate WITHOUT re-reading data — re-aggregation of
+    * pre-aggregated sketches, the cube/rollup pattern for distinct
+    * counts. No DuckDB oracle (approximate by design); SketchSpec
+    * asserts the union's estimate equals the direct one-pass sketch
+    * exactly (merge determinism) and is within 5% of exact.
+    */
+  def aggHllMerge(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val perType = ev.groupBy("event_type")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val overall = perType
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))
+      .select(lit("ALL").as("event_type"), col("est_users"))
+    perType
+      .select(col("event_type"),
+        expr("hll_sketch_estimate(sk)").as("est_users"))
+      .unionByName(overall)
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_range_binned" -> (joinRangeBinned _),
     "agg_frequent_items" -> (aggFrequentItems _),
@@ -524,6 +674,10 @@ object Extras3 {
     "store_time_travel" -> (storeTimeTravel _),
     "join_reused_exchange" -> (joinReusedExchange _),
     "typed_agg_column" -> (typedAggColumn _),
+    "event_funnel" -> (eventFunnel _),
+    "retention_cohorts" -> (retentionCohorts _),
+    "regexp_funcs" -> (regexpFuncs _),
+    "agg_hll_merge" -> (aggHllMerge _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -542,5 +696,10 @@ object Extras3 {
     "store_time_travel" -> storeTimeTravelSql,
     "join_reused_exchange" -> joinReusedExchangeSql,
     "typed_agg_column" -> typedAggColumnSql,
+    "event_funnel" -> eventFunnelSql,
+    "retention_cohorts" -> retentionCohortsSql,
+    "regexp_funcs" -> regexpFuncsSql,
+    // agg_hll_merge: approximate by design — no oracle; SketchSpec
+    // asserts merge determinism + 5% bound
   )
 }

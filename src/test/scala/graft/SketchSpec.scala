@@ -26,6 +26,23 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("agg_hll_merge: union of per-type sketches == direct sketch; within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.Extras3.aggHllMerge(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // merge determinism: unioning the per-type sketches must equal the
+    // one-pass sketch over all events bit-for-bit (same sketch params)
+    val direct = graft.Tables.events(spark, sf)
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est"))
+      .collect()(0).getLong(0)
+    assert(rows("ALL") == direct,
+      s"union estimate ${rows("ALL")} != direct sketch estimate $direct")
+    val exact = graft.Tables.events(spark, sf)
+      .select(countDistinct("user_id")).collect()(0).getLong(0)
+    assert(math.abs(rows("ALL") - exact).toDouble / exact <= 0.05,
+      s"union estimate ${rows("ALL")} vs exact $exact off by >5%")
+  }
+
   /** A tiny corpus with two planted near-dup pairs: (1,2) one token
     * changed in a 40-token doc (shingle Jaccard ≈ 0.85 — MinHash
     * territory), (3,4) tokens shuffled (identical token SET — SimHash
