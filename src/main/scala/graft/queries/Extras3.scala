@@ -403,7 +403,11 @@ object Extras3 {
   def storeTimeTravel(s: SparkSession, d: String): DataFrame = {
     val path = java.nio.file.Files.createTempDirectory("graft_tt_").toString + "/orders"
     val store = new graft.sources.DatasetStore(s, path, "o_orderkey")
+    // store only the columns the dimension needs — the store
+    // materializes its input, so projection must happen before init
+    // (Catalyst can't prune through an already-written segment)
     val base = orders(s, d)
+      .select("o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice")
     store.init(base) // v1
     store.upsert(base.filter(col("o_orderpriority") === "1-URGENT")
       .withColumn("o_totalprice",

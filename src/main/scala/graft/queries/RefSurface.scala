@@ -164,7 +164,10 @@ object RefSurface {
   def storeMergeUpsert(s: SparkSession, d: String): DataFrame = {
     val path = Files.createTempDirectory("graft_store_").toString + "/orders"
     val store = new graft.sources.DatasetStore(s, path, "o_orderkey")
+    // project to the columns the exhibit reads before materializing:
+    // the store writes its input verbatim, so pruning must be explicit
     val base = orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
     store.init(base)
     val updates = base.filter(col("o_orderpriority") === "1-URGENT")
       .withColumn("o_totalprice",
