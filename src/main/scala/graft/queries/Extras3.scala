@@ -662,6 +662,60 @@ object Extras3 {
       .orderBy("event_type")
   }
 
+  /** scan_merge_schema — parquet schema evolution: batch 1 writes two
+    * columns, batch 2 adds two more; `mergeSchema` reads the union
+    * schema with nulls backfilled for the old files, and the batch=N
+    * directory names surface as a discovered partition column. This
+    * is the append-only evolution contract a long-lived 100 TB corpus
+    * relies on (never rewrite old files to add a column); mergeSchema
+    * costs a footer read per file — at scale you pin the merged
+    * schema in a metastore instead, which is why it's off by default.
+    */
+  def scanMergeSchema(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_evo_").toString + "/cust"
+    val c = customer(s, d)
+    c.select("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$tmp/batch=1")
+    c.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$tmp/batch=2")
+    s.read.option("mergeSchema", "true").parquet(tmp)
+      .groupBy(col("batch").cast("bigint").as("batch"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("c_acctbal")).as("n_with_acctbal"))
+      .orderBy("batch")
+  }
+  val scanMergeSchemaSql: String =
+    """SELECT CAST(1 AS BIGINT) AS batch, count(*) AS n_rows,
+      |  CAST(0 AS BIGINT) AS n_with_acctbal FROM customer
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT) AS batch, count(*) AS n_rows,
+      |  count(c_acctbal) AS n_with_acctbal FROM customer
+      |ORDER BY batch""".stripMargin
+
+  /** agg_grouping_id — rollup with grouping()/grouping_id() markers:
+    * the only way to tell a subtotal row's NULL from a data NULL —
+    * the semantic trap in every rollup consumer. grouping_id also
+    * gives a stable numeric level key for downstream filtering
+    * (level 0 = detail, 3 = grand total).
+    */
+  def aggGroupingId(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .rollup("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        grouping_id().as("gid"),
+        grouping(col("o_orderpriority")).cast("bigint").as("g_pri"),
+        grouping(col("o_orderstatus")).cast("bigint").as("g_st"))
+      .orderBy(col("gid"), col("o_orderpriority"), col("o_orderstatus"))
+  val aggGroupingIdSql: String =
+    """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+      |  GROUPING(o_orderpriority, o_orderstatus) AS gid,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+      |ORDER BY gid, o_orderpriority, o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_range_binned" -> (joinRangeBinned _),
     "agg_frequent_items" -> (aggFrequentItems _),
@@ -682,6 +736,8 @@ object Extras3 {
     "retention_cohorts" -> (retentionCohorts _),
     "regexp_funcs" -> (regexpFuncs _),
     "agg_hll_merge" -> (aggHllMerge _),
+    "scan_merge_schema" -> (scanMergeSchema _),
+    "agg_grouping_id" -> (aggGroupingId _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -705,5 +761,7 @@ object Extras3 {
     "regexp_funcs" -> regexpFuncsSql,
     // agg_hll_merge: approximate by design — no oracle; SketchSpec
     // asserts merge determinism + 5% bound
+    "scan_merge_schema" -> scanMergeSchemaSql,
+    "agg_grouping_id" -> aggGroupingIdSql,
   )
 }
