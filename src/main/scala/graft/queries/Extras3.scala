@@ -716,6 +716,93 @@ object Extras3 {
       |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
       |ORDER BY gid, o_orderpriority, o_orderstatus""".stripMargin
 
+  /** text_ngram_lm — bigram language-model statistics: per language,
+    * the top-5 adjacent token pairs by count. Bigrams form via a
+    * lead() window over (doc, position) — no self-join of the token
+    * table (the join formulation shuffles the exploded tokens twice;
+    * the window shuffles once, partitioned by doc). Count table is
+    * vocabulary², tiny relative to the corpus; per-lang top-5 via
+    * row_number with full tie-break.
+    */
+  def textNgramLm(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d).select(col("doc_id"), col("lang"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val big = toks.withColumn("w2", lead("w1", 1).over(byPos))
+      .filter(col("w2").isNotNull)
+      .groupBy("lang", "w1", "w2").agg(count(lit(1)).as("n"))
+    val top = Window.partitionBy("lang")
+      .orderBy(col("n").desc, col("w1"), col("w2"))
+    big.withColumn("rk", row_number().over(top).cast("bigint"))
+      .filter(col("rk") <= 5)
+      .orderBy("lang", "rk")
+  }
+  val textNgramLmSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, pos, string_split(text, ' ')[pos] AS w1
+      |  FROM (SELECT doc_id, lang, text,
+      |          unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+      |        FROM documents)),
+      |big AS (
+      |  SELECT a.lang, a.w1, b.w1 AS w2, count(*) AS n
+      |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |  GROUP BY a.lang, a.w1, b.w1),
+      |r AS (
+      |  SELECT lang, w1, w2, n,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, w1, w2) AS rk
+      |  FROM big)
+      |SELECT lang, w1, w2, n, rk FROM r WHERE rk <= 5
+      |ORDER BY lang, rk""".stripMargin
+
+  /** multimodal_audio_energy — the audio-flavored member of the
+    * multimodal triad (image-ish extract C9, video-ish frame
+    * sampling C46): the blob is treated as 8-bit PCM, windowed into
+    * 256-sample frames, and each window's energy (sum of squared
+    * samples — exact integer math, no codec float path) plus the
+    * per-doc peak window are computed inside the same typed
+    * mapPartitions decode boundary the other two use. Corpus bytes
+    * are verified single-byte (ASCII), so the DuckDB oracle mirrors
+    * the windowing with per-character math.
+    */
+  def multimodalAudioEnergy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, blob) =>
+          // codec/model load would be amortized per-partition here
+          val energies = blob.grouped(256).map { w =>
+            w.foldLeft(0L)((acc, b) => acc + (b & 0xff).toLong * (b & 0xff)) }.toArray
+          val peak = energies.indices.minBy(i => (-energies(i), i))
+          (id, energies.length.toLong, energies.sum, peak.toLong, energies(peak))
+        }
+      }
+      .toDF("doc_id", "n_windows", "total_energy", "peak_window", "peak_energy")
+      .orderBy("doc_id")
+  }
+  val multimodalAudioEnergySql: String =
+    """WITH chars AS (
+      |  SELECT doc_id, CAST(floor((pos - 1) / 256) AS BIGINT) AS w,
+      |    CAST(ascii(text[pos]) AS BIGINT) AS b
+      |  FROM (SELECT doc_id, text,
+      |          unnest(generate_series(1, length(text))) AS pos
+      |        FROM documents)),
+      |wins AS (
+      |  SELECT doc_id, w, sum(b * b) AS energy
+      |  FROM chars GROUP BY doc_id, w),
+      |peaks AS (
+      |  SELECT doc_id, count(*) AS n_windows,
+      |    CAST(sum(energy) AS BIGINT) AS total_energy,
+      |    min(CASE WHEN rk = 1 THEN w END) AS peak_window,
+      |    CAST(min(CASE WHEN rk = 1 THEN energy END) AS BIGINT) AS peak_energy
+      |  FROM (SELECT *, row_number() OVER (
+      |          PARTITION BY doc_id ORDER BY energy DESC, w) AS rk
+      |        FROM wins) t
+      |  GROUP BY doc_id)
+      |SELECT doc_id, n_windows, total_energy, peak_window, peak_energy
+      |FROM peaks ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_range_binned" -> (joinRangeBinned _),
     "agg_frequent_items" -> (aggFrequentItems _),
@@ -738,6 +825,8 @@ object Extras3 {
     "agg_hll_merge" -> (aggHllMerge _),
     "scan_merge_schema" -> (scanMergeSchema _),
     "agg_grouping_id" -> (aggGroupingId _),
+    "text_ngram_lm" -> (textNgramLm _),
+    "multimodal_audio_energy" -> (multimodalAudioEnergy _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -763,5 +852,7 @@ object Extras3 {
     // asserts merge determinism + 5% bound
     "scan_merge_schema" -> scanMergeSchemaSql,
     "agg_grouping_id" -> aggGroupingIdSql,
+    "text_ngram_lm" -> textNgramLmSql,
+    "multimodal_audio_energy" -> multimodalAudioEnergySql,
   )
 }
