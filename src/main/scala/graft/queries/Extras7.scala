@@ -1,0 +1,200 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/** Seventh wave of coverage operators: the exact k-NN join, Z-order
+  * locality keys, permissive (corrupt-record) CSV ingest, and dynamic
+  * partition pruning — each with a DuckDB oracle.
+  */
+object Extras7 {
+
+  private def dotD(s: SparkSession, a: String, b: String): Column = {
+    graft.functions.FloatVecDot.register(s)
+    expr(s"${graft.functions.FloatVecDot.name}($a, $b)")
+  }
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(generate_series(1, 64),
+       |    i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)),
+       |    (x, y) -> x + y)""".stripMargin
+
+  /** sim_knn_join — the exact k-nearest-neighbor JOIN (top-3 neighbors
+    * for EVERY vector, not one probe's top-k like B42): similarities
+    * ride a broadcast of the corpus (512 KB here — no shuffle), and
+    * the per-query top-3 is an argmax-style AGGREGATION (sort_array ∘
+    * collect_list of (−sim, id) structs, sliced) — map-side combine
+    * keeps the shuffle at one row per query vector, never a window
+    * over the n² pair stream. The dot product is the codegen'd native
+    * left-fold (bit-identical to the DuckDB mirror), so ranking ties
+    * are impossible to flip cross-engine; ties in similarity itself
+    * break toward the lower neighbor id via the struct order. At
+    * 100 TB the corpus side blocks into IVF cells first (C8) — this
+    * exact join is the ground-truth/recall-measurement path.
+    */
+  def simKnnJoin(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val a = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val b = e.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    a.crossJoin(broadcast(b)).filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), dotD(s, "qe", "ne").as("sim"))
+      .groupBy("qid")
+      .agg(slice(sort_array(collect_list(struct((-col("sim")).as("ns"), col("nid")))),
+        1, 3).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid").as("vec_id"), (col("pos") + 1).cast("long").as("nn_rank"),
+        col("col.nid").as("neighbor_id"), round(-col("col.ns"), 6).as("sim"))
+      .orderBy("vec_id", "nn_rank")
+  }
+  val simKnnJoinSql: String =
+    s"""WITH sims AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |    ${dotSql("a", "b")} AS sim
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+       |r AS (
+       |  SELECT vec_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY vec_id
+       |                       ORDER BY sim DESC, neighbor_id ASC) AS rn
+       |  FROM sims)
+       |SELECT vec_id, CAST(rn AS BIGINT) AS nn_rank, neighbor_id,
+       |  round(sim, 6) AS sim
+       |FROM r WHERE rn <= 3 ORDER BY vec_id, nn_rank""".stripMargin
+
+  /** sort_zorder_key — Z-order (Morton) interleaved sort keys: the
+    * multi-dimensional clustering trick behind Delta/Iceberg OPTIMIZE
+    * ZORDER, computed with pure integer bit arithmetic (10 bits per
+    * dimension, unrolled shift/mask — codegen'd, engine-agnostic).
+    * Sorting by zkey makes rows close in BOTH dimensions land in the
+    * same file/rowgroup, so 2-D range predicates prune scans that a
+    * single-column sort cannot. The exhibit emits the lexicographic
+    * head of the Z-curve; the oracle mirrors the arithmetic term for
+    * term. At scale this key feeds `repartitionByRange(zkey)` before
+    * the write — layout, not computation, is the point.
+    */
+  def sortZorderKey(s: SparkSession, d: String): DataFrame = {
+    def interleave(x: String, y: String): String =
+      (0 until 10).map(i =>
+        s"((shiftright($x, $i) & 1) * ${1L << (2 * i)}) + " +
+        s"((shiftright($y, $i) & 1) * ${1L << (2 * i + 1)})").mkString(" + ")
+    events(s, d)
+      .select(col("event_id"),
+        (col("user_id") % 1024).as("xm"),
+        (expr("cast(get_json_object(props, '$.k') AS BIGINT)") % 1024).as("ym"))
+      .select(col("event_id"), col("xm"), col("ym"),
+        expr(interleave("xm", "ym")).as("zkey"))
+      .orderBy("zkey", "event_id")
+      .limit(200)
+  }
+  val sortZorderKeySql: String = {
+    def interleave(x: String, y: String): String =
+      (0 until 10).map(i =>
+        s"((($x >> $i) & 1) * ${1L << (2 * i)}) + " +
+        s"((($y >> $i) & 1) * ${1L << (2 * i + 1)})").mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT event_id, user_id % 1024 AS xm,
+       |    CAST(json_extract(props, '$$.k') AS BIGINT) % 1024 AS ym
+       |  FROM events)
+       |SELECT event_id, xm, ym, ${interleave("xm", "ym")} AS zkey
+       |FROM base ORDER BY zkey, event_id LIMIT 200""".stripMargin
+  }
+
+  private val csvDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** scan_csv_permissive — malformed-input ingest: orders serialized to
+    * CSV with every 7th row corrupted (non-numeric price), read back in
+    * PERMISSIVE mode with a corrupt-record column — bad rows surface as
+    * data (null fields + the raw line captured) instead of failing the
+    * job, the non-negotiable ingest posture at 100 TB where some rows
+    * are ALWAYS broken. The census proves exactly the planted rows were
+    * quarantined and the clean aggregate excludes them; the oracle
+    * recomputes all three from the planting rule.
+    */
+  def scanCsvPermissive(s: SparkSession, d: String): DataFrame = {
+    val dir = csvDirs.computeIfAbsent(d, _ => {
+      val out = Files.createTempDirectory(
+        s"graft_csv_${ProcessHandle.current().pid()}_").toString
+      orders(s, d)
+        .select(concat_ws(",",
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          when(col("o_orderkey") % 7 === 0, lit("XX"))
+            .otherwise(format_string("%.2f", col("o_totalprice"))),
+          col("o_orderpriority")).as("value"))
+        .write.mode("overwrite").text(out)
+      out
+    })
+    val sch = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
+      StructField("o_orderpriority", StringType), StructField("_corrupt", StringType)))
+    s.read.schema(sch)
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(dir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+        dsum(when(col("_corrupt").isNull, col("o_totalprice"))).as("clean_revenue"))
+  }
+  val scanCsvPermissiveSql: String =
+    s"""SELECT count(*) AS n_rows,
+       |  CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_corrupt,
+       |  CAST(sum(CASE WHEN o_orderkey % 7 <> 0
+       |           THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DOUBLE)
+       |    AS clean_revenue
+       |FROM orders""".stripMargin
+
+  private val dppDirs = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** join_dynamic_partition_prune — DPP end to end: the fact table is
+    * WRITTEN partitioned by event_type; the dim's selective filter is
+    * on a non-key column, so no static partition filter exists — at
+    * runtime Catalyst broadcasts the filtered dim and injects its key
+    * set as a partition filter into the fact scan
+    * (`dynamicpruningexpression` — PlanSpec-asserted), so 3 of 5
+    * partitions are never read. THE mechanism that turns star-schema
+    * joins from full scans into targeted reads at 100 TB. The oracle
+    * applies the dim rule (flagged types) directly.
+    */
+  def joinDynamicPartitionPrune(s: SparkSession, d: String): DataFrame = {
+    val (factDir, dimDir) = dppDirs.computeIfAbsent(d, _ => {
+      val f = Files.createTempDirectory(
+        s"graft_dppf_${ProcessHandle.current().pid()}_").toString
+      val dm = Files.createTempDirectory(
+        s"graft_dppd_${ProcessHandle.current().pid()}_").toString
+      events(s, d).write.mode("overwrite").partitionBy("event_type").parquet(f)
+      events(s, d).select(col("event_type")).distinct()
+        .select(col("event_type"),
+          when(col("event_type").isin("purchase", "signup"), 1).otherwise(0)
+            .cast("int").as("flag"))
+        .write.mode("overwrite").parquet(dm)
+      (f, dm)
+    })
+    val fact = s.read.parquet(factDir)
+    val dim = s.read.parquet(dimDir).filter(col("flag") === 1)
+    fact.join(dim, Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+  val joinDynamicPartitionPruneSql: String =
+    s"""SELECT event_type, count(*) AS n, ${dsumSql("value")} AS sum_value
+       |FROM events WHERE event_type IN ('purchase', 'signup')
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_knn_join" -> (simKnnJoin _),
+    "sort_zorder_key" -> (sortZorderKey _),
+    "scan_csv_permissive" -> (scanCsvPermissive _),
+    "join_dynamic_partition_prune" -> (joinDynamicPartitionPrune _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sim_knn_join" -> simKnnJoinSql,
+    "sort_zorder_key" -> sortZorderKeySql,
+    "scan_csv_permissive" -> scanCsvPermissiveSql,
+    "join_dynamic_partition_prune" -> joinDynamicPartitionPruneSql,
+  )
+}

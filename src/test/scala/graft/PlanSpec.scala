@@ -200,6 +200,18 @@ class PlanSpec extends SparkSpec {
       s"identical self-join subplans were not deduplicated:\n$p")
   }
 
+  test("join_dynamic_partition_prune injects a dynamic partition filter into the fact scan") {
+    val p = plan(graft.queries.Extras7.joinDynamicPartitionPrune(spark, sf))
+    assert(p.contains("dynamicpruningexpression"),
+      s"no dynamic partition pruning in fact scan:\n$p")
+  }
+
+  test("sim_knn_join broadcasts the corpus side (no shuffle for the pair stream)") {
+    val p = plan(graft.queries.Extras7.simKnnJoin(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"corpus side not broadcast:\n$p")
+  }
+
   test("text-index rule leaves non-indexed columns to the scan path") {
     import org.apache.spark.sql.functions.{col, expr, lower}
     graft.queries.RefSurface.refTextIndexSearch(spark, sf).count() // ensures index enabled
