@@ -16,7 +16,13 @@ class DeterminismSpec extends SparkSpec {
     "sim_topk_cosine",      // float dot products + rank ties
     "dedup_ngram_jaccard",  // set-similarity join + int-ratio division
     "json_funcs",           // dsum over extracted groups
-    "text_langid_confusion" // fixed-point argmax over join order
+    "text_langid_confusion", // fixed-point argmax over join order
+    "agg_linear_regression", // closed-form OLS from exact moment sums
+    "agg_skew_kurtosis",    // 3rd/4th moments from exact integer power sums
+    "embed_centroid_exact", // fixed-point float centroids
+    "interp_time_linear",   // per-row IEEE interpolation from window state
+    "sim_knn_join",         // n² float dots + argmax aggregation ranking
+    "agg_minby_maxby"       // unique-composite-key arg-min/max
   )
 
   exposed.foreach { name =>
