@@ -212,6 +212,12 @@ class PlanSpec extends SparkSpec {
       s"corpus side not broadcast:\n$p")
   }
 
+  test("win_partition_filter_pushdown pushes the partition-key filter into the scan") {
+    val p = plan(graft.queries.Extras8.winPartitionFilterPushdown(spark, sf))
+    assert(p.contains("LessThan(user_id,20)"),
+      s"partition-key filter above the window did not reach the scan:\n$p")
+  }
+
   test("text-index rule leaves non-indexed columns to the scan path") {
     import org.apache.spark.sql.functions.{col, expr, lower}
     graft.queries.RefSurface.refTextIndexSearch(spark, sf).count() // ensures index enabled
