@@ -26,6 +26,7 @@ object SparkEntry {
     graft.queries.Extras7.queries ++
     graft.queries.Extras8.queries ++
     graft.queries.Extras9.queries ++
+    graft.queries.Extras10.queries ++
     graft.queries.Pipeline.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -49,5 +50,6 @@ object SparkEntry {
     graft.queries.Extras7.oracle ++
     graft.queries.Extras8.oracle ++
     graft.queries.Extras9.oracle ++
+    graft.queries.Extras10.oracle ++
     graft.queries.Pipeline.oracle
 }
