@@ -28,6 +28,7 @@ object SparkEntry {
     graft.queries.Extras9.queries ++
     graft.queries.Extras10.queries ++
     graft.queries.Extras11.queries ++
+    graft.queries.Extras12.queries ++
     graft.queries.Pipeline.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -53,5 +54,6 @@ object SparkEntry {
     graft.queries.Extras9.oracle ++
     graft.queries.Extras10.oracle ++
     graft.queries.Extras11.oracle ++
+    graft.queries.Extras12.oracle ++
     graft.queries.Pipeline.oracle
 }

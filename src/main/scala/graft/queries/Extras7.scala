@@ -65,8 +65,9 @@ object Extras7 {
 
   /** sort_zorder_key — Z-order (Morton) interleaved sort keys: the
     * multi-dimensional clustering trick behind Delta/Iceberg OPTIMIZE
-    * ZORDER, computed with pure integer bit arithmetic (10 bits per
-    * dimension, unrolled shift/mask — codegen'd, engine-agnostic).
+    * ZORDER, computed by the native [[graft.functions.ZOrder2]]
+    * expression (one codegen'd 10-iteration loop; the oracle mirrors
+    * the same interleave as unrolled shift/mask arithmetic).
     * Sorting by zkey makes rows close in BOTH dimensions land in the
     * same file/rowgroup, so 2-D range predicates prune scans that a
     * single-column sort cannot. The exhibit emits the lexicographic
@@ -75,16 +76,13 @@ object Extras7 {
     * the write — layout, not computation, is the point.
     */
   def sortZorderKey(s: SparkSession, d: String): DataFrame = {
-    def interleave(x: String, y: String): String =
-      (0 until 10).map(i =>
-        s"((shiftright($x, $i) & 1) * ${1L << (2 * i)}) + " +
-        s"((shiftright($y, $i) & 1) * ${1L << (2 * i + 1)})").mkString(" + ")
+    graft.functions.ZOrder2.register(s)
     events(s, d)
       .select(col("event_id"),
         (col("user_id") % 1024).as("xm"),
         (expr("cast(get_json_object(props, '$.k') AS BIGINT)") % 1024).as("ym"))
       .select(col("event_id"), col("xm"), col("ym"),
-        expr(interleave("xm", "ym")).as("zkey"))
+        expr(s"${graft.functions.ZOrder2.name}(xm, ym)").as("zkey"))
       .orderBy("zkey", "event_id")
       .limit(200)
   }

@@ -31,6 +31,8 @@ class GraftExtensionsSpec extends SparkSpec {
         .head().getBoolean(0))
       assert(!s2.sql("SELECT graft_simhash64(array(1L, 2L)) IS NULL AS n").head().getBoolean(0))
       assert(s2.sql("SELECT size(graft_minhash16(array(1L, 2L))) AS k").head().getInt(0) == 16)
+      // zorder: x=0b11 → bits 0,2; y=0b1 → bit 1 ⇒ z=0b111=7
+      assert(s2.sql("SELECT graft_zorder2(3L, 1L) AS z").head().getLong(0) == 7L)
     } finally {
       // the new session shares the JVM's SparkContext — do NOT stop it;
       // just restore the shared session for the remaining suites
