@@ -29,6 +29,7 @@ object SparkEntry {
     graft.queries.Extras10.queries ++
     graft.queries.Extras11.queries ++
     graft.queries.Extras12.queries ++
+    graft.queries.Extras13.queries ++
     graft.queries.Pipeline.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -55,5 +56,6 @@ object SparkEntry {
     graft.queries.Extras10.oracle ++
     graft.queries.Extras11.oracle ++
     graft.queries.Extras12.oracle ++
+    graft.queries.Extras13.oracle ++
     graft.queries.Pipeline.oracle
 }
