@@ -30,6 +30,7 @@ object SparkEntry {
     graft.queries.Extras11.queries ++
     graft.queries.Extras12.queries ++
     graft.queries.Extras13.queries ++
+    graft.queries.Extras14.queries ++
     graft.queries.Pipeline.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -57,5 +58,6 @@ object SparkEntry {
     graft.queries.Extras11.oracle ++
     graft.queries.Extras12.oracle ++
     graft.queries.Extras13.oracle ++
+    graft.queries.Extras14.oracle ++
     graft.queries.Pipeline.oracle
 }

@@ -212,6 +212,11 @@ class PlanSpec extends SparkSpec {
       s"corpus side not broadcast:\n$p")
   }
 
+  test("join_merge_hint forces a sort-merge join") {
+    val p = plan(graft.queries.Extras14.joinMergeHint(spark, sf))
+    assert(p.contains("SortMergeJoin"), s"MERGE hint did not produce SMJ:\n$p")
+  }
+
   test("win_partition_filter_pushdown pushes the partition-key filter into the scan") {
     val p = plan(graft.queries.Extras8.winPartitionFilterPushdown(spark, sf))
     assert(p.contains("LessThan(user_id,20)"),
