@@ -108,6 +108,23 @@ class RefSurfaceSpec extends SparkSpec {
     assert(store.read().count() == 3)
   }
 
+  test("DatasetStore compact: one segment after, data identical, time travel crosses the boundary") {
+    import spark.implicits._
+    import graft.sources.DatasetStore
+    val dir = java.nio.file.Files.createTempDirectory("graft_store_compact_").toString
+    val store = new DatasetStore(spark, dir, "id")
+    store.init(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"))   // v1, seg 1
+    store.append(Seq((3L, 30.0)).toDF("id", "v"))             // v2, seg 2
+    assert(store.segmentCount == 2)
+    val before = store.read().orderBy("id").collect().toSeq
+    store.compact()                                            // v3, 1 seg
+    assert(store.segmentCount == 1)
+    assert(store.read().orderBy("id").collect().toSeq == before)
+    // pre-compaction snapshots remain readable (old segments retained)
+    assert(store.readAt(2).count() == 3)
+    assert(store.readAt(1).count() == 2)
+  }
+
   test("point-in-polygon truth table (codegen + interpreted agree)") {
     import spark.implicits._
     val square = Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0))
