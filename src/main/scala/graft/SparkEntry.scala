@@ -33,6 +33,7 @@ object SparkEntry {
     graft.queries.Extras14.queries ++
     graft.queries.Extras15.queries ++
     graft.queries.Extras16.queries ++
+    graft.queries.Extras17.queries ++
     graft.queries.Pipeline.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -63,5 +64,6 @@ object SparkEntry {
     graft.queries.Extras14.oracle ++
     graft.queries.Extras15.oracle ++
     graft.queries.Extras16.oracle ++
+    graft.queries.Extras17.oracle ++
     graft.queries.Pipeline.oracle
 }
