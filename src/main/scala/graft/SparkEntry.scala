@@ -34,6 +34,7 @@ object SparkEntry {
     graft.queries.Extras15.queries ++
     graft.queries.Extras16.queries ++
     graft.queries.Extras17.queries ++
+    graft.queries.Extras18.queries ++
     graft.queries.Pipeline.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -65,5 +66,6 @@ object SparkEntry {
     graft.queries.Extras15.oracle ++
     graft.queries.Extras16.oracle ++
     graft.queries.Extras17.oracle ++
+    graft.queries.Extras18.oracle ++
     graft.queries.Pipeline.oracle
 }
