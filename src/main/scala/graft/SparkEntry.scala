@@ -35,6 +35,7 @@ object SparkEntry {
     graft.queries.Extras16.queries ++
     graft.queries.Extras17.queries ++
     graft.queries.Extras18.queries ++
+    graft.queries.Extras19.queries ++
     graft.queries.Pipeline.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -67,5 +68,6 @@ object SparkEntry {
     graft.queries.Extras16.oracle ++
     graft.queries.Extras17.oracle ++
     graft.queries.Extras18.oracle ++
+    graft.queries.Extras19.oracle ++
     graft.queries.Pipeline.oracle
 }
