@@ -36,6 +36,7 @@ object SparkEntry {
     graft.queries.Extras17.queries ++
     graft.queries.Extras18.queries ++
     graft.queries.Extras19.queries ++
+    graft.queries.Extras20.queries ++
     graft.queries.Pipeline.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -69,5 +70,6 @@ object SparkEntry {
     graft.queries.Extras17.oracle ++
     graft.queries.Extras18.oracle ++
     graft.queries.Extras19.oracle ++
+    graft.queries.Extras20.oracle ++
     graft.queries.Pipeline.oracle
 }
