@@ -37,6 +37,7 @@ object SparkEntry {
     graft.queries.Extras18.queries ++
     graft.queries.Extras19.queries ++
     graft.queries.Extras20.queries ++
+    graft.queries.Extras21.queries ++
     graft.queries.Pipeline.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -71,5 +72,6 @@ object SparkEntry {
     graft.queries.Extras18.oracle ++
     graft.queries.Extras19.oracle ++
     graft.queries.Extras20.oracle ++
+    graft.queries.Extras21.oracle ++
     graft.queries.Pipeline.oracle
 }
