@@ -34,6 +34,32 @@ class DeterminismSpec extends SparkSpec {
     }
   }
 
+  test("property: zorder2 interleave is a bijection on 10-bit pairs (codegen == reference)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    graft.functions.ZOrder2.register(spark)
+    // reference deinterleave: even output bits reassemble x, odd bits y
+    def deinterleave(z: Long): (Long, Long) = {
+      var x = 0L; var y = 0L
+      (0 until 10).foreach { i =>
+        x |= ((z >>> (2 * i)) & 1L) << i
+        y |= ((z >>> (2 * i + 1)) & 1L) << i
+      }
+      (x, y)
+    }
+    val gen = Gen.listOfN(200, Gen.zip(Gen.chooseNum(0L, 1023L), Gen.chooseNum(0L, 1023L)))
+    val pairs = gen.pureApply(Gen.Parameters.default, Seed(7L))
+    val got = pairs.toDF("x", "y")
+      .selectExpr("x", "y", "graft_zorder2(x, y) AS z")
+      .collect()
+    got.foreach { r =>
+      val (x, y, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(deinterleave(z) == ((x, y)), s"zorder2($x, $y) = $z does not round-trip")
+      assert(z >= 0 && z < (1L << 20), s"zorder2 out of 20-bit range: $z")
+    }
+  }
+
   test("property: dsum over random 2-decimal doubles == exact rational sum") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
