@@ -39,6 +39,7 @@ object SparkEntry {
     graft.queries.Extras20.queries ++
     graft.queries.Extras21.queries ++
     graft.queries.Extras22.queries ++
+    graft.queries.Extras23.queries ++
     graft.queries.Pipeline.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -75,5 +76,6 @@ object SparkEntry {
     graft.queries.Extras20.oracle ++
     graft.queries.Extras21.oracle ++
     graft.queries.Extras22.oracle ++
+    graft.queries.Extras23.oracle ++
     graft.queries.Pipeline.oracle
 }
