@@ -113,16 +113,35 @@ object Streaming {
 
   /** Run a streaming frame to completion (AvailableNow) into a memory
     * sink and return the sink contents as a batch DataFrame.
+    *
+    * Streaming state partitioning is latched from
+    * `spark.sql.shuffle.partitions` at query START and never changes
+    * for the query's lifetime — so the session's batch-oriented 32
+    * would allocate 32 state-store instances per stateful operator
+    * (×2–4 for a stream-stream join) for replays whose total state is
+    * a few thousand rows; the per-store checkpoint/maintenance churn
+    * dominates wall-clock. We latch a small count for the duration of
+    * `.start()` and restore the session conf immediately after (the
+    * running query keeps its latched value; the restored conf applies
+    * only to later batch plans). On a real cluster the same query
+    * would simply start under a shuffle-partition conf sized to its
+    * expected state, set once at deployment.
     */
-  private[graft] def runToBatch(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
+  private[graft] def runToBatch(s: SparkSession, df: DataFrame, mode: String,
+      statePartitions: Int = 4): DataFrame = {
     val name = s"graft_mem_${ctr.incrementAndGet()}"
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_").toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+        df.writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode(mode)
+          .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     s.table(name)
   }
