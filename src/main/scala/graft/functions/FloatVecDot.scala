@@ -70,17 +70,15 @@ case class FloatVecDot(left: Expression, right: Expression)
 
 object FloatVecDot {
   val name = "graft_vec_dot"
-  @volatile private var registered = Set.empty[SparkSession]
 
   /** Register `graft_vec_dot` in the session's function registry so
     * query code can use it via expr("graft_vec_dot(a, b)").
     */
   def register(s: SparkSession): Unit =
-    if (!registered.contains(s)) synchronized {
+    Registration.once(s, name) {
       s.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[FloatVecDot].getName, name),
         (children: Seq[Expression]) => FloatVecDot(children(0), children(1)))
-      registered += s
     }
 }

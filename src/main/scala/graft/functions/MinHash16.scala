@@ -84,14 +84,11 @@ case class MinHash16(child: Expression) extends UnaryExpression {
 
 object MinHash16 {
   val name = "graft_minhash16"
-  @volatile private var registered = Set.empty[SparkSession]
-
   def register(s: SparkSession): Unit =
-    if (!registered.contains(s)) synchronized {
+    Registration.once(s, name) {
       s.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[MinHash16].getName, name),
         (children: Seq[Expression]) => MinHash16(children.head))
-      registered += s
     }
 }

@@ -142,15 +142,12 @@ case class TokenHash64(child: Expression) extends UnaryExpression {
 
 object TokenHash64 {
   val name = "graft_tokenhash64"
-  @volatile private var registered = Set.empty[SparkSession]
-
   def register(s: SparkSession): Unit =
-    if (!registered.contains(s)) synchronized {
+    Registration.once(s, name) {
       s.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[TokenHash64].getName, name),
         (children: Seq[Expression]) => TokenHash64(children.head))
-      registered += s
     }
 }
 
@@ -191,14 +188,11 @@ case class ShingleHash3(child: Expression) extends UnaryExpression {
 
 object ShingleHash3 {
   val name = "graft_shingle3"
-  @volatile private var registered = Set.empty[SparkSession]
-
   def register(s: SparkSession): Unit =
-    if (!registered.contains(s)) synchronized {
+    Registration.once(s, name) {
       s.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[ShingleHash3].getName, name),
         (children: Seq[Expression]) => ShingleHash3(children.head))
-      registered += s
     }
 }

@@ -78,14 +78,11 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
 object SimHash64 {
   val name = "graft_simhash64"
-  @volatile private var registered = Set.empty[SparkSession]
-
   def register(s: SparkSession): Unit =
-    if (!registered.contains(s)) synchronized {
+    Registration.once(s, name) {
       s.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[SimHash64].getName, name),
         (children: Seq[Expression]) => SimHash64(children.head))
-      registered += s
     }
 }

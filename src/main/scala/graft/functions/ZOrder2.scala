@@ -64,14 +64,11 @@ case class ZOrder2(left: Expression, right: Expression) extends BinaryExpression
 
 object ZOrder2 {
   val name = "graft_zorder2"
-  @volatile private var registered = Set.empty[SparkSession]
-
   def register(s: SparkSession): Unit =
-    if (!registered.contains(s)) synchronized {
+    Registration.once(s, name) {
       s.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[ZOrder2].getName, name),
         (children: Seq[Expression]) => ZOrder2(children(0), children(1)))
-      registered += s
     }
 }

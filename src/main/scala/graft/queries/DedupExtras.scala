@@ -41,13 +41,22 @@ object DedupExtras {
     *
     * Shape: NOT a nested-loop over pair arrays (the interpreted
     * array_intersect condition cost 625 s at sf0.1 — measured) but the
-    * distributed set-similarity join: explode shingles, equi-join on
-    * the shingle to count each pair's intersection, derive the union
-    * from per-doc set sizes. Everything is a codegen'd hash join +
-    * aggregate; |A∩B| and |A∪B| are exact ints, jaccard one IEEE
-    * division. At 100 TB the one refinement needed is dropping
-    * ubiquitous shingles (document-frequency cap) before the self-join
-    * — the classic prefix-filter — which changes no ≥0.6 result.
+    * distributed set-similarity join with PREFIX FILTERING (Bayardo et
+    * al., "Scaling Up All Pairs Similarity Search", WWW'07 — exact, not
+    * a heuristic): order each doc's shingles by ascending global
+    * document frequency (rare first, ties broken by the shingle value —
+    * a total order), and two sets with J ≥ t MUST share an element
+    * inside each one's first (n − ⌈t·n⌉ + 1) shingles under ANY shared
+    * total order. Only those prefixes enter the candidate self-join, so
+    * a boilerplate shingle appearing in k documents contributes k
+    * exploded rows but NO k² candidate pairs (df-descending shingles
+    * never make the prefix of a doc that has any rare shingle) — the
+    * classic set-similarity skew bomb at 100 TB web scale is defused
+    * while the result set stays provably identical. Candidates then get
+    * exact |A∩B| via the full (unfiltered) shingle lists and exact
+    * |A∪B| from per-doc set sizes; jaccard is one IEEE division.
+    * ⌈0.6·n⌉ is computed in integer math ((6n+9) div 10) — no float
+    * boundary can misplace a prefix length.
     *
     * Shingles are 64-bit hashes from the codegen'd [[graft.functions.ShingleHash3]]
     * (|A∩B| and |A∪B| over hashed sets ≡ over string sets, and the
@@ -60,9 +69,22 @@ object DedupExtras {
       .select(col("doc_id"),
         explode(expr(s"${graft.functions.ShingleHash3.name}(text)")).as("shingle"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val prefix = sh
+      .join(dfreq, "shingle")
+      .join(sizes, "doc_id")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
+      .filter(col("rk") <= col("n_sh") - expr("(6 * n_sh + 9) div 10") + 1)
+      .select(col("doc_id"), col("shingle"))
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
       .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_inter"))
     inter

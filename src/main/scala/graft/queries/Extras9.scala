@@ -74,8 +74,11 @@ object Extras9 {
       .filter(col("o_orderstatus") === "O")
       .select(lit(1).as("one"))
     // drive THIS dataset's own queryExecution — metrics live on the
-    // execution that actually ran (count() would plan a fresh one)
-    val mainCount = observed.collect().length.toLong
+    // execution that actually ran (Dataset.count() would plan a fresh
+    // execution whose metrics never populate). RDD-level count keeps
+    // the row counting distributed: only the per-partition counts come
+    // back to the driver, not the rows themselves.
+    val mainCount = observed.queryExecution.toRdd.count()
     val row = observed.queryExecution.observedMetrics("qa")
     import s.implicits._
     Seq((mainCount, row.getAs[Long]("n_scanned"),

@@ -78,12 +78,20 @@ class DatasetStore(spark: SparkSession, path: String, keyCol: String) {
   private def commit(segs: Seq[String]): Unit = {
     root.mkdirs()
     val v = versions().lastOption.getOrElse(0L) + 1
-    Files.write(manifestFile(v).toPath, segs.mkString("\n").getBytes(UTF_8))
-    val tmp = new File(root, s"CURRENT.tmp.${seq.incrementAndGet()}")
-    Files.write(tmp.toPath, segs.mkString("\n").getBytes(UTF_8))
-    Files.move(tmp.toPath, currentFile.toPath,
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    // numbered manifests get the same temp-file + atomic-move commit as
+    // CURRENT: a crash mid-write must never leave a truncated
+    // MANIFEST.vN that readAt(v)/versions()/referenced() would treat as
+    // a valid (partial) snapshot
+    writeAtomic(manifestFile(v), segs)
+    writeAtomic(currentFile, segs)
     prune()
+  }
+
+  private def writeAtomic(dst: File, segs: Seq[String]): Unit = {
+    val tmp = new File(root, s"${dst.getName}.tmp.${seq.incrementAndGet()}")
+    Files.write(tmp.toPath, segs.mkString("\n").getBytes(UTF_8))
+    Files.move(tmp.toPath, dst.toPath,
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
 
   private def referenced(): Set[String] =
@@ -92,10 +100,20 @@ class DatasetStore(spark: SparkSession, path: String, keyCol: String) {
         .split('\n').map(_.trim).filter(_.nonEmpty)
     } ++ (if (currentFile.exists) segments() else Nil)).toSet
 
-  private def prune(): Unit = {
+  /** Deletes every `seg_*` directory no retained manifest references.
+    * SINGLE-WRITER assumption (documented contract, same as the class):
+    * a concurrently-written segment whose commit hasn't landed yet
+    * would look orphaned and be destroyed by another commit's prune.
+    * Segments younger than a grace window are kept (Iceberg-style
+    * orphan-file retention) so an in-flight writeSegment on the same
+    * path survives an overlapping prune even if the contract is bent.
+    */
+  private def prune(graceMs: Long = 600000L): Unit = {
     val live = referenced()
+    val cutoff = System.currentTimeMillis() - graceMs
     Option(root.list()).getOrElse(Array.empty)
       .filter(_.startsWith("seg_")).filterNot(live)
+      .filter(s => new File(root, s).lastModified() < cutoff)
       .foreach { s =>
         def rmTree(f: File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rmTree))
