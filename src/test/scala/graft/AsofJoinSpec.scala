@@ -53,4 +53,33 @@ class AsofJoinSpec extends SparkSpec {
       r = Seq((3L, 12L, 77L)))
     assert(got == Set((3L, 15L, "p", 12L, 77L), (3L, 30L, "q", 12L, 77L)))
   }
+
+  test("string keys: stored match key survives the sort iterator's buffer reuse") {
+    // Regression for the matchKey aliasing fix: a non-primitive key
+    // eval'd straight off the right iterator can reference the sorter's
+    // reused backing buffer; the stored key must come from the COPIED
+    // match row. Many interleaved string keys per partition make the
+    // stale-key comparison at the key boundary do real work: with an
+    // aliased key, the "same key?" check against the next key's left
+    // rows would compare mutated bytes and leak a previous key's match.
+    AsofJoinStrategy.register(spark)
+    val n = 2000
+    val l = (0 until n).map(i => (f"key_${i % 97}%04d", (i / 97).toLong * 10 + 5, i.toLong))
+    val r = (0 until n).map(i => (f"key_${i % 97}%04d", (i / 97).toLong * 10, i.toLong))
+    val lf = l.toDF("lk", "lt", "lid").repartition(3)
+    val rf = r.toDF("rk", "rt", "rid").repartition(3)
+    val got = AsofJoin.df(lf, rf, lf("lk"), rf("rk"), lf("lt"), rf("rt"), rf("rid"))
+      .select("lk", "lt", "rt", "rid").collect()
+    assert(got.length == n)
+    got.foreach { row =>
+      // the match must be the same key's right row at exactly lt - 5
+      assert(!row.isNullAt(2), s"unmatched: $row")
+      assert(row.getLong(2) == row.getLong(1) - 5, s"wrong time: $row")
+      val expectedRid = r.indexOf((row.getString(0), row.getLong(2),
+        row.getLong(3))).toLong
+      assert(row.getLong(3) >= 0 && r(row.getLong(3).toInt) ==
+        (row.getString(0), row.getLong(2), row.getLong(3)), s"cross-key leak: $row")
+      assert(expectedRid == row.getLong(3))
+    }
+  }
 }
