@@ -147,6 +147,13 @@ class PlanSpec extends SparkSpec {
       s"status filter not applied as partition pruning:\n$p")
   }
 
+  test("sim_index_probe prunes the persisted index scan to the probed cells") {
+    val df = graft.queries.Extras24.simIndexProbe(spark, sf)
+    val p = plan(df)
+    assert(p.contains("PartitionFilters: [cell"),
+      s"probed-cell filter not applied as partition pruning on the index scan:\n$p")
+  }
+
   test("ref_text_index_search rewrites to a semi-join on the inverted index") {
     val df = graft.queries.RefSurface.refTextIndexSearch(spark, sf)
     val p = plan(df)

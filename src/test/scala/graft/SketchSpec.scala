@@ -134,6 +134,22 @@ class SketchSpec extends SparkSpec {
     info(f"IVF recall vs brute force: $recall%.2f")
   }
 
+  test("sim_index_probe: persisted-index probe matches exact sims and bounds recall") {
+    val exact = LlmOps.simTopkCosine(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probed = graft.queries.Extras24.simIndexProbe(spark, sf).collect()
+    // exact per-probe structure: <=5 rows, rank-sorted descending
+    probed.groupBy(_.getLong(0)).foreach { case (p, rs) =>
+      assert(rs.length <= 5)
+      val sims = rs.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, s"probe $p not sorted")
+    }
+    val pairs = probed.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pairs & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"persisted-IVF recall $recall below 0.8 at nprobe=6")
+    info(f"persisted-IVF probe recall vs brute force: $recall%.2f")
+  }
+
   test("sim_topk_lsh: exact sims, sorted, and recall >= 0.3 vs brute force") {
     val exact = LlmOps.simTopkCosine(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
