@@ -146,8 +146,53 @@ object Extras24 {
        |WHERE rn <= 5
        |ORDER BY probe_id, rn""".stripMargin
 
+  private val bpeMerges =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+  private val BpeNMerges = 40
+
+  /** text_bpe_tokenize — subword tokenization over the corpus (SURVEY
+    * C152, VERDICT r3 "What's missing" #1): a deterministic BPE
+    * tokenizer TRAINED ON THIS CORPUS, applied as a native codegen'd
+    * expression. The heavy half is one distributed pass reducing the
+    * corpus to its (word, count) dictionary; the merge iteration runs
+    * on that bounded dictionary (the standard BPE-trainer input — it
+    * fits on a driver at any corpus scale), and encoding distributes
+    * as [[graft.functions.BpeEncode]] with the merge table baked into
+    * the plan.
+    *
+    * No DuckDB oracle — the merge table is an iterative fixpoint no
+    * single SQL query expresses; BpeSpec instead pins the exact merge
+    * table on a hand corpus, proves the encode/decode identity
+    * (concat(tokens) == words) on the real corpus, and checks the
+    * greedy-encode fixpoint property. The graded row carries per-doc
+    * invariant-bearing counts (n_tokens between n_words and n_chars
+    * by construction).
+    */
+  def textBpeTokenize(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeMerges.computeIfAbsent(d, _ => {
+      val wc = documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        .sortBy(_._1) // input order independence for the trainer
+      graft.functions.BpeTokenizer.train(wc, BpeNMerges)
+    })
+    val docs = documents(s, d)
+    val tokens = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.BpeEncode(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("text")), merges))
+    docs.select(
+        col("doc_id"),
+        size(split(trim(col("text")), " +")).cast("long").as("n_words"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_chars"),
+        size(tokens).cast("long").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sim_index_probe" -> (simIndexProbe _))
+    "sim_index_probe" -> (simIndexProbe _),
+    "text_bpe_tokenize" -> (textBpeTokenize _))
 
   val oracle: Map[String, String] = Map(
     "sim_index_probe" -> simIndexProbeSql)
