@@ -190,10 +190,90 @@ object Extras24 {
       .orderBy("doc_id")
   }
 
+  /** Stage `.sb` files where every file declares a DIFFERENT
+    * `/fields=` list (the reference's core data-model trick — SURVEY
+    * §2.2): langs at even alphabetical position carry (doc_id,
+    * n_chars), odd positions additionally carry n_words. Fixture
+    * staging only; the graded operator is the parse + pivot-back.
+    */
+  private def stageHeteroSbDir(s: SparkSession, d: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hsb_")
+    val docs = documents(s, d)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        size(filter(split(col("text"), " "), w => length(w) > 0))
+          .cast("long").as("n_words"))
+      .collect().groupBy(_.getString(0))
+    docs.keys.toSeq.sorted.zipWithIndex.foreach { case (lang, i) =>
+      val wide = i % 2 == 1
+      val sb = new StringBuilder
+      sb ++= "/begin_header\n"
+      sb ++= s"/cruise=corpus_$lang\n"
+      sb ++= (if (wide) "/fields=doc_id,n_chars,n_words\n"
+              else "/fields=doc_id,n_chars\n")
+      sb ++= "/delimiter=comma\n"
+      sb ++= "/missing=-999\n"
+      sb ++= "/end_header\n"
+      docs(lang).sortBy(_.getLong(1)).foreach { r =>
+        sb ++= (if (wide) s"${r.getLong(1)},${r.getLong(2)},${r.getLong(3)}\n"
+                else s"${r.getLong(1)},${r.getLong(2)}\n")
+      }
+      java.nio.file.Files.writeString(dir.resolve(s"corpus_$lang.sb"), sb.toString)
+    }
+    dir.toString
+  }
+
+  /** ref_heterogeneous_ingest — dynamic schema-on-read (SURVEY C153,
+    * VERDICT r3 "What's missing" #4): every `.sb` file declares its
+    * own `/fields=` list, the long/narrow `(path, record_no, field,
+    * value)` layout absorbs them all without a unified schema, and the
+    * pivot-back discovers the field UNION from the data itself (a
+    * bounded collect — it is a schema, not data) before one
+    * group-by-pivot pass rebuilds wide rows with NULLs where a file
+    * never declared the field. This is the reference's
+    * heterogeneous-measurement data model: at 100 TB the long layout
+    * shards by file with no coordination, and the union discovery
+    * reads the (tiny) distinct-field set, not the records.
+    *
+    * Oracle: recomputes the same wide frame from `documents` with the
+    * even/odd-lang field rule mirrored via dense_rank.
+    */
+  def refHeterogeneousIngest(s: SparkSession, d: String): DataFrame = {
+    val dir = stageHeteroSbDir(s, d)
+    val long = graft.sources.SbReader.readLong(s, s"$dir/*.sb")
+    val fields = long.select("field").distinct()
+      .collect().map(_.getString(0)).sorted
+    val meta = graft.sources.SbReader.readMetadata(s, s"$dir/*.sb")
+      .filter(col("key") === "cruise")
+      .select(col("path"), regexp_replace(col("value"), "^corpus_", "").as("lang"))
+    long.groupBy("path", "record_no")
+      .pivot("field", fields)
+      .agg(first(col("value_num")))
+      .join(meta, "path")
+      .select(col("lang"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("n_chars").cast("long").as("n_chars"),
+        col("n_words").cast("long").as("n_words"))
+      .orderBy("doc_id")
+  }
+  val refHeterogeneousIngestSql: String =
+    """WITH ranked AS (
+      |  SELECT lang, dense_rank() OVER (ORDER BY lang) AS rk
+      |  FROM (SELECT DISTINCT lang FROM documents)),
+      |d AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    len(list_filter(string_split(text, ' '), w -> w <> '')) AS nw
+      |  FROM documents)
+      |SELECT d.lang, d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars,
+      |  CAST(CASE WHEN r.rk % 2 = 0 THEN d.nw ELSE NULL END AS BIGINT) AS n_words
+      |FROM d JOIN ranked r USING (lang)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_index_probe" -> (simIndexProbe _),
-    "text_bpe_tokenize" -> (textBpeTokenize _))
+    "text_bpe_tokenize" -> (textBpeTokenize _),
+    "ref_heterogeneous_ingest" -> (refHeterogeneousIngest _))
 
   val oracle: Map[String, String] = Map(
-    "sim_index_probe" -> simIndexProbeSql)
+    "sim_index_probe" -> simIndexProbeSql,
+    "ref_heterogeneous_ingest" -> refHeterogeneousIngestSql)
 }
