@@ -4,77 +4,76 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
-/** Decoded "frame" features for one blob — the output schema of the
+/** Decoded media metadata for one blob — the output schema of the
   * multimodal extract stage. Top-level case class so encoder codegen
   * stays on the compiled path.
   */
-case class FrameFeatures(
-  doc_id: Long, n_bytes: Int, width: Int, height: Int, channels: Int, first_byte: Int)
+case class MediaFeatures(
+  doc_id: Long, kind: String, n_payload: Long, width: Long, height: Long,
+  channels: Long, sample_rate: Long, payload_sum: Long)
 
 /** Multimodal-column plumbing (builder brief): media as opaque binary
   * columns with typed metadata, decoded/feature-extracted in a
   * partition-mapped stage.
   *
-  * The container has no image/audio codecs, so the decode itself is a
-  * clearly-marked deterministic STUB ([[Multimodal.decodeStub]]) — what
-  * is real and tested is the Spark-side plumbing a production pipeline
-  * needs: the binary column + metadata schema, the typed
+  * The blobs are REAL container formats built around the corpus bytes
+  * (PNG: signature + IHDR with CRC-32 + zlib-deflated IDAT + IEND;
+  * WAV: RIFF/WAVE with fmt and data subchunks), and
+  * [[graft.sources.MediaCodec.decode]] genuinely parses them — magic
+  * sniffing, chunk walking, big/little-endian field reads, CRC
+  * verification, Inflater round-trip — inside the typed
   * `mapPartitions` boundary (same batch-at-a-time shape as
-  * `mapInPandas`/Arrow in PySpark — per-partition iterator in, typed
-  * rows out), the Encoder-backed output schema, and the per-partition
-  * batching that would amortize a model/codec load at scale.
+  * `mapInPandas`/Arrow in PySpark). Only pixel/sample interpretation
+  * is out of scope (the payload is corpus text, not imagery); the
+  * container layer a production ingest must survive is exercised for
+  * real.
   */
 object Multimodal {
 
-  /** STUB decoder — stands in for an image/audio codec. Deterministic
-    * features derived only from the byte stream, so the DuckDB oracle
-    * can mirror them from octet_length/ascii. A real deployment swaps
-    * this body for the codec call; the Spark plumbing is unchanged.
-    */
-  def decodeStub(docId: Long, blob: Array[Byte]): FrameFeatures = {
-    val n = blob.length
-    FrameFeatures(
-      doc_id = docId,
-      n_bytes = n,
-      width = 16 + n % 64,
-      height = 16 + (n / 64) % 64,
-      channels = 3,
-      first_byte = if (n > 0) blob(0) & 0xff else 0)
-  }
-
-  /** multimodal_extract — documents.text encoded to a binary blob
-    * column (standing in for stored media bytes), then decoded via
-    * mapPartitions into typed frame features. One narrow stage: the
-    * "decode" runs where the data lives, no shuffle before it.
+  /** multimodal_extract — documents.text packed into real PNG/WAV
+    * containers (even doc_ids → PNG, odd → WAV), then decoded via
+    * mapPartitions into typed media metadata. One narrow stage: the
+    * decode runs where the data lives, no shuffle before it, and only
+    * the small typed features survive the stage — the blob never
+    * shuffles.
     */
   def multimodalExtract(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     documents(s, d)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition setup would load the codec/model once here
-        it.map { case (id, blob) => decodeStub(id, blob) }
+        it.map { case (id, payload) =>
+          val blob =
+            if (id % 2 == 0) graft.sources.MediaCodec.encodePng(payload)
+            else graft.sources.MediaCodec.encodeWav(payload)
+          graft.sources.MediaCodec.decode(id, blob)
+        }
       }
       .toDF()
       .orderBy("doc_id")
   }
-  /** Oracle mirrors BYTE semantics: sizes via octet_length(encode(..))
-    * — the UTF-8 byte count, exactly what the Spark side's blob length
-    * is — not strlen's codepoint count. first_byte uses ascii() of the
-    * first CHARACTER, which equals the first byte only for ASCII;
-    * MEASURED: the fixture corpus is ASCII-only at every sf (0 docs
-    * with octet_length(encode(text)) <> strlen(text)), so the two
-    * agree here. A non-ASCII corpus would need a blob-indexing
-    * function on the oracle side.
+  /** Oracle mirrors the CONSTRUCTION rule (container fields are pure
+    * functions of payload size / doc parity, which is what lets an
+    * independent engine check a binary decode), byte semantics via
+    * octet_length(encode(..)); payload_sum sums ascii() per character,
+    * which equals the byte sum on this MEASURED-ASCII corpus.
     */
   val multimodalExtractSql: String =
     """SELECT doc_id,
-      |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-      |  CAST(16 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
-      |  CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INTEGER) AS height,
-      |  3 AS channels,
-      |  CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte
+      |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS kind,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_payload,
+      |  CAST(CASE WHEN doc_id % 2 = 0
+      |    THEN 16 + octet_length(encode(text)) % 64 ELSE 0 END AS BIGINT) AS width,
+      |  CAST(CASE WHEN doc_id % 2 = 0
+      |    THEN 16 + (octet_length(encode(text)) // 64) % 64 ELSE 0 END AS BIGINT) AS height,
+      |  CAST(CASE WHEN doc_id % 2 = 0
+      |    THEN 3 ELSE 1 + octet_length(encode(text)) % 2 END AS BIGINT) AS channels,
+      |  CAST(CASE WHEN doc_id % 2 = 0
+      |    THEN 0 ELSE 8000 + octet_length(encode(text)) % 8000 END AS BIGINT) AS sample_rate,
+      |  CAST(coalesce(list_aggregate(list_transform(generate_series(1, strlen(text)),
+      |    p -> ascii(text[p])), 'sum'), 0) AS BIGINT) AS payload_sum
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Output schema of the frame-sampling stage. */
