@@ -41,6 +41,7 @@ object SparkEntry {
     graft.queries.Extras22.queries ++
     graft.queries.Extras23.queries ++
     graft.queries.Extras24.queries ++
+    graft.queries.Extras25.queries ++
     graft.queries.Pipeline.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -79,5 +80,6 @@ object SparkEntry {
     graft.queries.Extras22.oracle ++
     graft.queries.Extras23.oracle ++
     graft.queries.Extras24.oracle ++
+    graft.queries.Extras25.oracle ++
     graft.queries.Pipeline.oracle
 }
