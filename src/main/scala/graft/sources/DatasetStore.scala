@@ -49,6 +49,15 @@ class DatasetStore(spark: SparkSession, path: String, keyCol: String) {
   def read(): DataFrame =
     spark.read.parquet(segments().map(s => new File(root, s).toString): _*)
 
+  /** Read with parquet schema merging across segments — the
+    * schema-evolution path: segments written after a column was added
+    * carry it, earlier segments surface it as NULL. Costs a footer
+    * read per segment (why it is not the default read()).
+    */
+  def readMerged(): DataFrame =
+    spark.read.option("mergeSchema", "true")
+      .parquet(segments().map(s => new File(root, s).toString): _*)
+
   /** Time travel: read the store as of snapshot version `v` (from
     * [[versions]]). Possible because segments are immutable and every
     * commit's manifest is retained — the same mechanism behind

@@ -147,6 +147,27 @@ class PlanSpec extends SparkSpec {
       s"status filter not applied as partition pruning:\n$p")
   }
 
+  test("join_skew_aqe splits the planted hot partition at runtime") {
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      val df = graft.queries.Extras27.skewJoinFrame(spark, sf)
+      df.collect() // AQE decides skew splits at runtime — materialize first
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"AQE skew-join split did not fire:\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("sim_index_probe prunes the persisted index scan to the probed cells") {
     val df = graft.queries.Extras24.simIndexProbe(spark, sf)
     val p = plan(df)
