@@ -44,6 +44,7 @@ object SparkEntry {
     graft.queries.Extras25.queries ++
     graft.queries.Extras26.queries ++
     graft.queries.Extras27.queries ++
+    graft.queries.Extras28.queries ++
     graft.queries.Pipeline.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -85,5 +86,6 @@ object SparkEntry {
     graft.queries.Extras25.oracle ++
     graft.queries.Extras26.oracle ++
     graft.queries.Extras27.oracle ++
+    graft.queries.Extras28.oracle ++
     graft.queries.Pipeline.oracle
 }
