@@ -63,7 +63,10 @@ object DedupExtras {
     * self-join's key becomes a long instead of a rebuilt string); the
     * oracle keeps the independent string formulation.
     */
-  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
+  /** (exploded shingles, per-doc prefixes) — exposed for the
+    * SketchSpec candidate-expansion bound.
+    */
+  private[graft] def ngramShinglesAndPrefix(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     graft.functions.ShingleHash3.register(s)
     val sh = documents(s, d)
       .select(col("doc_id"),
@@ -78,6 +81,12 @@ object DedupExtras {
           .partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
       .filter(col("rk") <= col("n_sh") - expr("(6 * n_sh + 9) div 10") + 1)
       .select(col("doc_id"), col("shingle"))
+    (sh, prefix)
+  }
+
+  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val (sh, prefix) = ngramShinglesAndPrefix(s, d)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val cand = prefix.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(prefix.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
       .filter(col("doc_a") < col("doc_b"))

@@ -134,6 +134,23 @@ class SketchSpec extends SparkSpec {
     info(f"IVF recall vs brute force: $recall%.2f")
   }
 
+  test("dedup_ngram_jaccard prefix filter bounds candidate expansion") {
+    import org.apache.spark.sql.functions._
+    val (sh, prefix) = DedupExtras.ngramShinglesAndPrefix(spark, sf)
+    def pairCount(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(col("doc_id").as("a"), col("shingle"))
+        .join(df.select(col("doc_id").as("b"), col("shingle")), "shingle")
+        .filter(col("a") < col("b")).count()
+    val naive = pairCount(sh)       // the k² skew bomb the filter defuses
+    val filtered = pairCount(prefix)
+    info(f"pre-aggregation pair rows: naive=$naive filtered=$filtered " +
+      f"(${100.0 * filtered / naive}%.1f%%)")
+    assert(filtered < naive / 2,
+      s"prefix filter did not materially bound the self-join: $filtered vs $naive")
+    // and the prefixes are a per-doc subset, as the theorem requires
+    assert(prefix.exceptAll(sh).isEmpty)
+  }
+
   test("sim_index_probe: persisted-index probe matches exact sims and bounds recall") {
     val exact = LlmOps.simTopkCosine(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
