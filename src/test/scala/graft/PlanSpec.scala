@@ -168,6 +168,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("join_aqe_runtime_broadcast converts the static SMJ to a broadcast join at runtime") {
+    graft.queries.Extras31.withAqeBroadcastConfs(spark) {
+      val df = graft.queries.Extras31.aqeBroadcastFrame(spark, sf)
+      val initial = df.queryExecution.executedPlan.toString
+      assert(initial.contains("SortMergeJoin"),
+        s"static plan should start as a sort-merge join:\n$initial")
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("BroadcastHashJoin"),
+        s"AQE did not convert to broadcast at runtime:\n$finalPlan")
+    }
+  }
+
   test("sim_index_probe prunes the persisted index scan to the probed cells") {
     val df = graft.queries.Extras24.simIndexProbe(spark, sf)
     val p = plan(df)
