@@ -49,6 +49,7 @@ object SparkEntry {
     graft.queries.Extras30.queries ++
     graft.queries.Extras31.queries ++
     graft.queries.Extras32.queries ++
+    graft.queries.Extras33.queries ++
     graft.queries.Pipeline.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -95,5 +96,6 @@ object SparkEntry {
     graft.queries.Extras30.oracle ++
     graft.queries.Extras31.oracle ++
     graft.queries.Extras32.oracle ++
+    graft.queries.Extras33.oracle ++
     graft.queries.Pipeline.oracle
 }
