@@ -50,6 +50,7 @@ object SparkEntry {
     graft.queries.Extras31.queries ++
     graft.queries.Extras32.queries ++
     graft.queries.Extras33.queries ++
+    graft.queries.Extras34.queries ++
     graft.queries.Pipeline.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -97,5 +98,6 @@ object SparkEntry {
     graft.queries.Extras31.oracle ++
     graft.queries.Extras32.oracle ++
     graft.queries.Extras33.oracle ++
+    graft.queries.Extras34.oracle ++
     graft.queries.Pipeline.oracle
 }

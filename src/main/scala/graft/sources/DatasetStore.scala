@@ -154,6 +154,58 @@ class DatasetStore(spark: SparkSession, path: String, keyCol: String) {
     commit(segments() :+ seg)
   }
 
+  /** Segment list of a committed snapshot manifest. */
+  private def readManifest(v: Long): Seq[String] =
+    new String(Files.readAllBytes(manifestFile(v).toPath), UTF_8)
+      .split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** CONCURRENT append with optimistic concurrency: the manifest-CAS
+    * protocol Delta/Iceberg run against an object store's putIfAbsent,
+    * here on POSIX `link(2)` via `Files.createLink` — the ONE local-FS
+    * primitive that is simultaneously atomic, exclusive (EEXIST if the
+    * name is taken; it never replaces) and content-complete (the link
+    * target is a fully-written temp file, so a manifest either does
+    * not exist or is whole — no reader can observe a partial or empty
+    * snapshot). NB `Files.move` without REPLACE_EXISTING is NOT a CAS:
+    * the JDK implements it as an existence check plus rename(2), which
+    * silently replaces — two racers can both "win" and one commit is
+    * lost (observed in the 8-writer race spec before this landed on
+    * createLink). Losers re-read the latest snapshot and retry against
+    * the next version; blind retry is CORRECT for appends because
+    * appends commute (upsert/delete recompute state and keep the
+    * documented single-writer contract). CURRENT then advances under a
+    * per-path JVM lock to the HIGHEST committed version — a stale
+    * winner never regresses the pointer (cross-JVM deployments would
+    * resolve CURRENT from max(MANIFEST.vN), which stays correct since
+    * every version file is complete-on-arrival).
+    */
+  def appendAtomic(df: DataFrame, maxRetries: Int = 50): Unit = {
+    root.mkdirs()
+    val seg = writeSegment(df)
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      val v = versions().lastOption.getOrElse(0L)
+      val segs = (if (v == 0) Nil else readManifest(v)) :+ seg
+      val tmp = new File(root, s"MANIFEST.tmp.${seq.incrementAndGet()}.${Thread.currentThread().getId}")
+      Files.write(tmp.toPath, segs.mkString("\n").getBytes(UTF_8))
+      try {
+        Files.createLink(manifestFile(v + 1).toPath, tmp.toPath)
+        committed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1
+          require(attempt <= maxRetries,
+            s"store at $path: CAS append lost $maxRetries version races")
+      } finally Files.deleteIfExists(tmp.toPath)
+    }
+    DatasetStore.pathLock(path).synchronized {
+      val latest = readManifest(versions().last)
+      writeAtomic(currentFile, latest)
+    }
+    prune()
+  }
+
   /** MERGE: rows in `updates` replace current rows with the same key;
     * new keys are inserted. Current-side is anti-joined on the update
     * keys (a broadcast anti-join when updates are small — the common
@@ -185,4 +237,13 @@ class DatasetStore(spark: SparkSession, path: String, keyCol: String) {
     * than whole-table; the commit protocol is the same.
     */
   def compact(): Unit = commit(Seq(writeSegment(read())))
+}
+
+object DatasetStore {
+  /** Per-path monitor for CURRENT-pointer advancement (JVM-local; see
+    * [[DatasetStore.appendAtomic]] for the cross-JVM story).
+    */
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[sources] def pathLock(path: String): Object =
+    locks.computeIfAbsent(path, _ => new Object)
 }

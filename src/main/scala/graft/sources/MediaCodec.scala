@@ -99,6 +99,55 @@ object MediaCodec {
       new String(blob, 8, 4, "US-ASCII") == "WAVE") decodeWav(docId, blob)
     else throw new IllegalArgumentException(s"doc $docId: unrecognized container magic")
 
+  /** Decode and return the raw payload bytes (the decompressed IDAT
+    * stream for PNG, the data subchunk for WAV) — the pixel/sample
+    * accessor that content-level feature extraction builds on, with
+    * the same validation as [[decode]].
+    */
+  def decodePayload(docId: Long, blob: Array[Byte]): Array[Byte] =
+    if (blob.length >= 8 && blob.take(8).sameElements(PngSig)) {
+      val bb = ByteBuffer.wrap(blob).order(ByteOrder.BIG_ENDIAN).position(8)
+      var payload: Array[Byte] = Array.empty
+      var done = false
+      while (!done && bb.remaining() >= 12) {
+        val len = bb.getInt
+        val typ = new Array[Byte](4); bb.get(typ)
+        val data = new Array[Byte](len); bb.get(data)
+        bb.getInt // CRC (verified on the decode() path)
+        new String(typ, "US-ASCII") match {
+          case "IDAT" =>
+            val inflater = new Inflater()
+            inflater.setInput(data)
+            val out = new java.io.ByteArrayOutputStream(data.length * 4)
+            val buf = new Array[Byte](8192)
+            while (!inflater.finished()) {
+              val k = inflater.inflate(buf)
+              require(k > 0 || inflater.finished(), s"doc $docId: truncated IDAT stream")
+              out.write(buf, 0, k)
+            }
+            inflater.end()
+            payload = out.toByteArray
+          case "IEND" => done = true
+          case _ => ()
+        }
+      }
+      payload
+    } else if (blob.length >= 12 &&
+      new String(blob, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(blob, 8, 4, "US-ASCII") == "WAVE") {
+      val bb = ByteBuffer.wrap(blob).order(ByteOrder.LITTLE_ENDIAN).position(12)
+      var payload: Array[Byte] = Array.empty
+      while (bb.remaining() >= 8) {
+        val typ = new Array[Byte](4); bb.get(typ)
+        val size = bb.getInt
+        if (new String(typ, "US-ASCII") == "data") {
+          payload = new Array[Byte](size); bb.get(payload)
+          if (size % 2 == 1 && bb.hasRemaining) bb.get()
+        } else bb.position(bb.position() + size + size % 2)
+      }
+      payload
+    } else throw new IllegalArgumentException(s"doc $docId: unrecognized container magic")
+
   private def decodePng(docId: Long, blob: Array[Byte]): MediaFeatures = {
     val bb = ByteBuffer.wrap(blob).order(ByteOrder.BIG_ENDIAN).position(8)
     var width, height, channels = 0L

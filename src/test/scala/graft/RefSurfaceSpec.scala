@@ -125,6 +125,26 @@ class RefSurfaceSpec extends SparkSpec {
     assert(store.readAt(1).count() == 2)
   }
 
+  test("DatasetStore appendAtomic: 8 racing writers all land, versions are gapless, snapshots monotone") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_storespec_").toString + "/cas"
+    val store = new graft.sources.DatasetStore(spark, path, "id")
+    store.init(Seq((0L, 0.0)).toDF("id", "v")) // v1
+    val writers = (1 to 8).map { i =>
+      new Thread(() => store.appendAtomic(Seq((i.toLong, i * 10.0)).toDF("id", "v")))
+    }
+    writers.foreach(_.start())
+    writers.foreach(_.join())
+    // every racing append committed exactly once
+    assert(store.read().collect().map(_.getLong(0)).sorted.toSeq == (0L to 8L))
+    // CAS versions are consecutive — no clobbered or skipped commits
+    assert(store.versions() == (1L to 9L))
+    // snapshots grow by exactly one row per version (appends commute,
+    // so each version's cardinality is deterministic even though the
+    // id-to-version assignment is race-dependent)
+    (1L to 9L).foreach(v => assert(store.readAt(v).count() == v))
+  }
+
   test("point-in-polygon truth table (codegen + interpreted agree)") {
     import spark.implicits._
     val square = Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0))
