@@ -237,6 +237,65 @@ class DatasetStore(spark: SparkSession, path: String, keyCol: String) {
     * than whole-table; the commit protocol is the same.
     */
   def compact(): Unit = commit(Seq(writeSegment(read())))
+
+  // ----- branches (Iceberg-style named refs over the shared version log)
+
+  private def branchFile(name: String) = new File(root, s"BRANCH.$name")
+
+  /** Create/reset branch `name` pointing at snapshot `fromVersion`.
+    * A branch is a named pointer into the SAME immutable version log
+    * CURRENT reads from — zero data copied (Iceberg/Delta branch
+    * semantics; possible only because segments and manifests are
+    * immutable).
+    */
+  def createBranch(name: String, fromVersion: Long): Unit = {
+    require(manifestFile(fromVersion).exists,
+      s"store at $path has no snapshot v$fromVersion")
+    val tmp = new File(root, s"BRANCH.$name.tmp.${seq.incrementAndGet()}")
+    Files.write(tmp.toPath, fromVersion.toString.getBytes(UTF_8))
+    Files.move(tmp.toPath, branchFile(name).toPath,
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def branchVersion(name: String): Long = {
+    require(branchFile(name).exists, s"store at $path has no branch $name")
+    new String(Files.readAllBytes(branchFile(name).toPath), UTF_8).trim.toLong
+  }
+
+  def readBranch(name: String): DataFrame = readAt(branchVersion(name))
+
+  /** Append onto a BRANCH head: the new manifest still CASes into the
+    * shared version log (so main and branch writers never collide on a
+    * version number), but only the branch pointer advances — CURRENT
+    * is untouched until [[fastForward]].
+    */
+  def appendBranch(name: String, df: DataFrame, maxRetries: Int = 50): Unit = {
+    val seg = writeSegment(df)
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      val v = versions().lastOption.getOrElse(0L)
+      val segs = readManifest(branchVersion(name)) :+ seg
+      val tmp = new File(root, s"MANIFEST.tmp.${seq.incrementAndGet()}.${Thread.currentThread().getId}")
+      Files.write(tmp.toPath, segs.mkString("\n").getBytes(UTF_8))
+      try {
+        Files.createLink(manifestFile(v + 1).toPath, tmp.toPath)
+        createBranch(name, v + 1)
+        committed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1
+          require(attempt <= maxRetries,
+            s"store at $path: branch CAS lost $maxRetries version races")
+      } finally Files.deleteIfExists(tmp.toPath)
+    }
+  }
+
+  /** Fast-forward CURRENT to the branch head (publish the branch). */
+  def fastForward(name: String): Unit =
+    DatasetStore.pathLock(path).synchronized {
+      writeAtomic(currentFile, readManifest(branchVersion(name)))
+    }
 }
 
 object DatasetStore {

@@ -264,6 +264,25 @@ class PlanSpec extends SparkSpec {
       s"partition-key filter above the window did not reach the scan:\n$p")
   }
 
+  test("subquery_exists_correlated decorrelates to semi + anti joins") {
+    val p = plan(graft.queries.Extras32.subqueryExistsCorrelated(spark, sf))
+    assert(p.contains("LeftSemi"), s"EXISTS not decorrelated to a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS not decorrelated to an anti join:\n$p")
+  }
+
+  test("scan_parquet_bloom pushes the point-IN filter to the copy's scan") {
+    val p = plan(graft.queries.Extras33.scanParquetBloom(spark, sf))
+    assert(p.contains("PushedFilters: [In(l_partkey"),
+      s"point-IN filter did not reach the parquet scan:\n$p")
+  }
+
+  test("scan_nested_pruning reads only the touched struct leaf") {
+    val p = plan(graft.queries.Extras36.scanNestedPruning(spark, sf))
+    assert(p.contains("c_mktsegment"), s"touched leaf missing from plan:\n$p")
+    assert(!p.contains("c_name") && !p.contains("c_acctbal"),
+      s"nested scan decodes untouched struct leaves:\n$p")
+  }
+
   test("text-index rule leaves non-indexed columns to the scan path") {
     import org.apache.spark.sql.functions.{col, expr, lower}
     graft.queries.RefSurface.refTextIndexSearch(spark, sf).count() // ensures index enabled
