@@ -53,6 +53,7 @@ object SparkEntry {
     graft.queries.Extras34.queries ++
     graft.queries.Extras35.queries ++
     graft.queries.Extras36.queries ++
+    graft.queries.Extras37.queries ++
     graft.queries.Pipeline.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -103,5 +104,6 @@ object SparkEntry {
     graft.queries.Extras34.oracle ++
     graft.queries.Extras35.oracle ++
     graft.queries.Extras36.oracle ++
+    graft.queries.Extras37.oracle ++
     graft.queries.Pipeline.oracle
 }
