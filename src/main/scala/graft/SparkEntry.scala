@@ -54,6 +54,7 @@ object SparkEntry {
     graft.queries.Extras35.queries ++
     graft.queries.Extras36.queries ++
     graft.queries.Extras37.queries ++
+    graft.queries.Extras38.queries ++
     graft.queries.Pipeline.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -105,5 +106,6 @@ object SparkEntry {
     graft.queries.Extras35.oracle ++
     graft.queries.Extras36.oracle ++
     graft.queries.Extras37.oracle ++
+    graft.queries.Extras38.oracle ++
     graft.queries.Pipeline.oracle
 }
