@@ -296,6 +296,39 @@ class DatasetStore(spark: SparkSession, path: String, keyCol: String) {
     DatasetStore.pathLock(path).synchronized {
       writeAtomic(currentFile, readManifest(branchVersion(name)))
     }
+
+  /** CHANGE DATA FEED between two snapshots (Delta CDF semantics,
+    * derived rather than logged — possible because every snapshot
+    * stays readable): a keyed full outer join of the two versions
+    * classifies each key as insert (absent before), delete (absent
+    * after) or update (present in both with any non-key column
+    * changed). Cost is one join of two snapshots — the derived-CDF
+    * trade-off versus Delta's per-commit change logging, which pays
+    * at write time instead.
+    */
+  def changeFeed(vFrom: Long, vTo: Long): DataFrame = {
+    val before = readAt(vFrom)
+    val after = readAt(vTo)
+    val dataCols = before.columns.filterNot(_ == keyCol).toSeq
+    val b = dataCols.foldLeft(before) { (df, c) => df.withColumnRenamed(c, s"__b_$c") }
+      .withColumn("__b_present", lit(true)) // presence marker survives the outer join
+    val a = dataCols.foldLeft(after) { (df, c) => df.withColumnRenamed(c, s"__a_$c") }
+      .withColumn("__a_present", lit(true))
+    val joined = b.join(a, Seq(keyCol), "full_outer")
+    val bPresent = col("__b_present").isNotNull
+    val aPresent = col("__a_present").isNotNull
+    val changed = dataCols.map(c => not(col(s"__b_$c") <=> col(s"__a_$c")))
+      .reduce(_ || _)
+    joined
+      .withColumn("change_type",
+        when(!bPresent && aPresent, "insert")
+          .when(bPresent && !aPresent, "delete")
+          .when(changed, "update"))
+      .filter(col("change_type").isNotNull)
+      .select(col(keyCol) +: (dataCols.flatMap(c =>
+        Seq(col(s"__b_$c").as(s"before_$c"), col(s"__a_$c").as(s"after_$c"))) :+
+        col("change_type")): _*)
+  }
 }
 
 object DatasetStore {
