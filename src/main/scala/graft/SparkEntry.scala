@@ -56,6 +56,7 @@ object SparkEntry {
     graft.queries.Extras37.queries ++
     graft.queries.Extras38.queries ++
     graft.queries.Extras39.queries ++
+    graft.queries.Extras40.queries ++
     graft.queries.Pipeline.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -109,5 +110,6 @@ object SparkEntry {
     graft.queries.Extras37.oracle ++
     graft.queries.Extras38.oracle ++
     graft.queries.Extras39.oracle ++
+    graft.queries.Extras40.oracle ++
     graft.queries.Pipeline.oracle
 }

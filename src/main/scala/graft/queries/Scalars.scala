@@ -256,7 +256,7 @@ object Scalars {
     * round(ln(x)*1e9) summed as BIGINT. Final exp() and round(,6) run on
     * bit-identical inputs in both engines.
     */
-  private object GeoMean extends Aggregator[Double, GeoBuf, Double] {
+  private[graft] object GeoMean extends Aggregator[Double, GeoBuf, Double] {
     def zero: GeoBuf = GeoBuf(0L, 0L)
     def reduce(b: GeoBuf, x: Double): GeoBuf =
       GeoBuf(b.sumNano + math.round(math.log(x) * 1e9), b.n + 1)

@@ -283,6 +283,17 @@ class PlanSpec extends SparkSpec {
       s"nested scan decodes untouched struct leaves:\n$p")
   }
 
+  test("exec_cache_reuse consumers read the in-memory cache, not the fact table") {
+    val agg = graft.queries.Extras40.cachedAgg(spark, sf)
+    try {
+      agg.count() // materialize the cache
+      val consumer = agg.agg(org.apache.spark.sql.functions.max("n_orders"))
+      val p = plan(consumer)
+      assert(p.contains("InMemoryTableScan"),
+        s"cached aggregate re-computed instead of read from cache:\n$p")
+    } finally agg.unpersist()
+  }
+
   test("text-index rule leaves non-indexed columns to the scan path") {
     import org.apache.spark.sql.functions.{col, expr, lower}
     graft.queries.RefSurface.refTextIndexSearch(spark, sf).count() // ensures index enabled
