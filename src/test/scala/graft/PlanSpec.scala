@@ -294,6 +294,18 @@ class PlanSpec extends SparkSpec {
     } finally agg.unpersist()
   }
 
+  test("opt_empty_relation collapses the join to an empty local scan (no file scan)") {
+    val p = plan(graft.queries.Extras41.emptyJoinFrame(spark, sf))
+    assert(p.contains("LocalTableScan"), s"empty side not propagated:\n$p")
+    assert(!p.contains("Scan parquet"), s"empty join still scans the fact table:\n$p")
+  }
+
+  test("opt_constant_folding pushes the FOLDED literal to the scan") {
+    val p = plan(graft.queries.Extras41.foldedFilterFrame(spark, sf))
+    assert(p.contains("GreaterThan(o_totalprice,50000.0)"),
+      s"folded predicate did not reach PushedFilters:\n$p")
+  }
+
   test("text-index rule leaves non-indexed columns to the scan path") {
     import org.apache.spark.sql.functions.{col, expr, lower}
     graft.queries.RefSurface.refTextIndexSearch(spark, sf).count() // ensures index enabled
