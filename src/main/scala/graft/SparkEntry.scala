@@ -59,6 +59,7 @@ object SparkEntry {
     graft.queries.Extras40.queries ++
     graft.queries.Extras41.queries ++
     graft.queries.Extras42.queries ++
+    graft.queries.Extras43.queries ++
     graft.queries.Pipeline.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -115,5 +116,6 @@ object SparkEntry {
     graft.queries.Extras40.oracle ++
     graft.queries.Extras41.oracle ++
     graft.queries.Extras42.oracle ++
+    graft.queries.Extras43.oracle ++
     graft.queries.Pipeline.oracle
 }
