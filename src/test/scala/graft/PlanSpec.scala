@@ -306,6 +306,13 @@ class PlanSpec extends SparkSpec {
       s"folded predicate did not reach PushedFilters:\n$p")
   }
 
+  test("exec_rebalance_hint plants RebalancePartitions for AQE") {
+    val p = graft.queries.Extras45.rebalanceFrame(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("RebalancePartitions"),
+      s"REBALANCE hint did not survive optimization:\n$p")
+  }
+
   test("text-index rule leaves non-indexed columns to the scan path") {
     import org.apache.spark.sql.functions.{col, expr, lower}
     graft.queries.RefSurface.refTextIndexSearch(spark, sf).count() // ensures index enabled
