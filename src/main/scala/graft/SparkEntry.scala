@@ -62,6 +62,7 @@ object SparkEntry {
     graft.queries.Extras43.queries ++
     graft.queries.Extras44.queries ++
     graft.queries.Extras45.queries ++
+    graft.queries.Extras46.queries ++
     graft.queries.Pipeline.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -121,5 +122,6 @@ object SparkEntry {
     graft.queries.Extras43.oracle ++
     graft.queries.Extras44.oracle ++
     graft.queries.Extras45.oracle ++
+    graft.queries.Extras46.oracle ++
     graft.queries.Pipeline.oracle
 }

@@ -73,7 +73,10 @@ object Extras44 {
         ((element_at(col("frame"), expr("CAST((size(frame) + 1) div 2 AS INT)")) +
           element_at(col("frame"), expr("CAST(size(frame) div 2 + 1 AS INT)"))) / 2)
           .as("med_qty_5"))
-      .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      // full-duplicate rows (same key, flag AND quantity) carry
+      // DIFFERENT frame medians at adjacent positions — the median
+      // itself must join the output order to make it total
+      .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "med_qty_5")
   }
   val winMedianSlidingSql: String =
     """WITH f AS (
@@ -84,7 +87,8 @@ object Extras44 {
       |  FROM lineitem WHERE l_orderkey % 50 = 0)
       |SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
       |  (frame[(len(frame) + 1) // 2] + frame[len(frame) // 2 + 1]) / 2 AS med_qty_5
-      |FROM f ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity""".stripMargin
+      |FROM f
+      |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity, med_qty_5""".stripMargin
 
   /** str_funcs2 — the second string battery (B31 covered the core):
     * levenshtein distance (the built-in behind fuzzy matching),
