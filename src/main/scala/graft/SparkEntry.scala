@@ -63,6 +63,7 @@ object SparkEntry {
     graft.queries.Extras44.queries ++
     graft.queries.Extras45.queries ++
     graft.queries.Extras46.queries ++
+    graft.queries.Extras47.queries ++
     graft.queries.Pipeline.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -123,5 +124,6 @@ object SparkEntry {
     graft.queries.Extras44.oracle ++
     graft.queries.Extras45.oracle ++
     graft.queries.Extras46.oracle ++
+    graft.queries.Extras47.oracle ++
     graft.queries.Pipeline.oracle
 }

@@ -297,6 +297,13 @@ class DatasetStore(spark: SparkSession, path: String, keyCol: String) {
       writeAtomic(currentFile, readManifest(branchVersion(name)))
     }
 
+  /** RESTORE: re-commit an earlier snapshot's manifest as a NEW
+    * version (git-revert / Delta RESTORE semantics) — history is
+    * never rewritten, the reverted-away versions stay inspectable,
+    * and no data moves (segments are immutable and shared).
+    */
+  def rollback(v: Long): Unit = commit(readManifest(v))
+
   /** CHANGE DATA FEED between two snapshots (Delta CDF semantics,
     * derived rather than logged — possible because every snapshot
     * stays readable): a keyed full outer join of the two versions
