@@ -313,6 +313,27 @@ class PlanSpec extends SparkSpec {
       s"REBALANCE hint did not survive optimization:\n$p")
   }
 
+  test("udf_nondeterministic_barrier: det UDF pushes below the join, nondet stays above") {
+    val (det, nd) = graft.queries.Extras48.udfBarrierFrames(spark, sf)
+    val pDet = det.queryExecution.optimizedPlan.toString
+    val pNd = nd.queryExecution.optimizedPlan.toString
+    // deterministic: filter sits under the join (on the orders side)
+    val detFilterBelowJoin = pDet.indexOf("Join") < pDet.indexOf("UDF")
+    val ndFilterAboveJoin = pNd.indexOf("UDF") < pNd.indexOf("Join")
+    assert(detFilterBelowJoin, s"deterministic UDF filter not pushed below the join:\n$pDet")
+    assert(ndFilterAboveJoin, s"nondeterministic UDF filter was reordered below the join:\n$pNd")
+  }
+
+  test("typed_filter_pushdown_loss: Column filter pushes, lambda filter does not") {
+    val (colF, lamF) = graft.queries.Extras48.typedFilterFrames(spark, sf)
+    val pCol = plan(colF)
+    val pLam = plan(lamF)
+    assert(pCol.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity"),
+      s"Column predicate did not reach the scan:\n$pCol")
+    assert(!pLam.contains("GreaterThan(l_quantity"),
+      s"lambda filter unexpectedly appeared as a pushed filter:\n$pLam")
+  }
+
   test("text-index rule leaves non-indexed columns to the scan path") {
     import org.apache.spark.sql.functions.{col, expr, lower}
     graft.queries.RefSurface.refTextIndexSearch(spark, sf).count() // ensures index enabled
