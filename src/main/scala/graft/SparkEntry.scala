@@ -65,6 +65,7 @@ object SparkEntry {
     graft.queries.Extras46.queries ++
     graft.queries.Extras47.queries ++
     graft.queries.Extras48.queries ++
+    graft.queries.Extras49.queries ++
     graft.queries.Pipeline.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -127,5 +128,6 @@ object SparkEntry {
     graft.queries.Extras46.oracle ++
     graft.queries.Extras47.oracle ++
     graft.queries.Extras48.oracle ++
+    graft.queries.Extras49.oracle ++
     graft.queries.Pipeline.oracle
 }
