@@ -66,6 +66,7 @@ object SparkEntry {
     graft.queries.Extras47.queries ++
     graft.queries.Extras48.queries ++
     graft.queries.Extras49.queries ++
+    graft.queries.Extras50.queries ++
     graft.queries.Pipeline.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -129,5 +130,6 @@ object SparkEntry {
     graft.queries.Extras47.oracle ++
     graft.queries.Extras48.oracle ++
     graft.queries.Extras49.oracle ++
+    graft.queries.Extras50.oracle ++
     graft.queries.Pipeline.oracle
 }
