@@ -67,6 +67,7 @@ object SparkEntry {
     graft.queries.Extras48.queries ++
     graft.queries.Extras49.queries ++
     graft.queries.Extras50.queries ++
+    graft.queries.Extras51.queries ++
     graft.queries.Pipeline.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -131,5 +132,6 @@ object SparkEntry {
     graft.queries.Extras48.oracle ++
     graft.queries.Extras49.oracle ++
     graft.queries.Extras50.oracle ++
+    graft.queries.Extras51.oracle ++
     graft.queries.Pipeline.oracle
 }
