@@ -22,6 +22,7 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = selected.map { case (name, fn) =>
       // measurement isolation: collect the previous query's garbage
       // OUTSIDE the timed region so its GC pauses don't land in this
@@ -29,7 +30,14 @@ object Bench {
       // pressure inflated isolated-run-sub-second queries to multi-sec)
       System.gc()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a failed query must NOT report as a (fast) wall time — record it
+      // in an explicit errors list so the bench JSON distinguishes
+      // broken from quick
+      try { fn(spark, sfDir).count() } catch {
+        case t: Throwable =>
+          failed += name
+          System.err.println(s"BENCH_ERROR: $name: ${t.getClass.getSimpleName}: ${t.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     // 3-decimal seconds: ~ms resolution is all the comparison needs, and
@@ -40,8 +48,9 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     // Emit three ways so any parser finds it: a file, the plain line,
     // and (last — closest to the end of the captured log) a marker line.
     try {

@@ -33,18 +33,22 @@ object Extras25 {
     import s.implicits._
     val dir = mediaDirs.computeIfAbsent(d, _ => {
       val out = Files.createTempDirectory(
-        s"graft_media_${ProcessHandle.current().pid()}_")
+        s"graft_media_${ProcessHandle.current().pid()}_").toString
+      // staged DISTRIBUTED: each task encodes and writes its own docs'
+      // media files into the shared temp dir — the refZipExport
+      // local-FS staging pattern, no driver collect
       documents(s, d).filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-        .collect().foreach { r =>
-          val id = r.getLong(0)
-          val payload = r.getAs[Array[Byte]](1)
-          val (name, bytes) =
-            if (id % 2 == 0) (f"media_$id%06d.png", graft.sources.MediaCodec.encodePng(payload))
-            else (f"media_$id%06d.wav", graft.sources.MediaCodec.encodeWav(payload))
-          Files.write(out.resolve(name), bytes)
+        .as[(Long, Array[Byte])]
+        .foreachPartition { (it: Iterator[(Long, Array[Byte])]) =>
+          it.foreach { case (id, payload) =>
+            val (name, bytes) =
+              if (id % 2 == 0) (f"media_$id%06d.png", graft.sources.MediaCodec.encodePng(payload))
+              else (f"media_$id%06d.wav", graft.sources.MediaCodec.encodeWav(payload))
+            Files.write(java.nio.file.Paths.get(out, name), bytes)
+          }
         }
-      out.toString
+      out
     })
     s.read.format("binaryFile").load(dir)
       .select(

@@ -44,24 +44,33 @@ object Extras29 {
     */
   def scanCsvCompressed(s: SparkSession, d: String): DataFrame = {
     val dir = gzDirs.computeIfAbsent(d, _ => {
+      import s.implicits._
       val out = Files.createTempDirectory(
-        s"graft_csvgz_${ProcessHandle.current().pid()}_")
-      val rows = orders(s, d).filter(col("o_orderkey") % 20 === 0)
-        .select("o_orderkey", "o_orderpriority", "o_totalprice")
-        .collect().groupBy(_.getString(1))
-      rows.foreach { case (prio, rs) =>
-        val gz = new java.util.zip.GZIPOutputStream(
-          Files.newOutputStream(out.resolve(
-            s"orders_${prio.replaceAll("[^0-9A-Za-z]", "_")}.csv.gz")))
-        val w = new java.io.OutputStreamWriter(gz, "UTF-8")
-        w.write("o_orderkey,o_orderpriority,o_totalprice\n")
-        rs.sortBy(_.getLong(0)).foreach { r =>
-          w.write(s"${r.getLong(0)},${r.getString(1)},${String.format(
-            java.util.Locale.ROOT, "%.2f", Double.box(r.getDouble(2)))}\n")
-        }
-        w.close()
-      }
-      out.toString
+        s"graft_csvgz_${ProcessHandle.current().pid()}_").toString
+      // staged DISTRIBUTED: repartition by priority, each task gzips
+      // the priorities that hashed to it into the shared temp dir —
+      // the refZipExport local-FS staging pattern, no driver collect
+      orders(s, d).filter(col("o_orderkey") % 20 === 0)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .as[(String, Long, Double)]
+        .repartition(col("o_orderpriority"))
+        .mapPartitions { it =>
+          val byPrio = it.toArray.groupBy(_._1)
+          byPrio.foreach { case (prio, rs) =>
+            val gz = new java.util.zip.GZIPOutputStream(
+              Files.newOutputStream(java.nio.file.Paths.get(out,
+                s"orders_${prio.replaceAll("[^0-9A-Za-z]", "_")}.csv.gz")))
+            val w = new java.io.OutputStreamWriter(gz, "UTF-8")
+            w.write("o_orderkey,o_orderpriority,o_totalprice\n")
+            rs.sortBy(_._2).foreach { case (p, k, t) =>
+              w.write(s"$k,$p,${String.format(
+                java.util.Locale.ROOT, "%.2f", Double.box(t))}\n")
+            }
+            w.close()
+          }
+          Iterator(byPrio.size)
+        }.collect() // sink commit: priorities-per-task counts, not data
+      out
     })
     s.read
       .option("header", "true")

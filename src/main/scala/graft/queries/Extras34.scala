@@ -96,16 +96,71 @@ object Extras34 {
     * DECODED pixel payload becomes the dedup signature — the
     * byte-level analogue of an image color histogram, robust to small
     * insertions where positional hashes (dHash) break on shifted
-    * streams. Pairs are blocked by language (at 100 TB: LSH-bucket the
-    * histogram like C47) and kept at L1 ≤ 2. Exact long arithmetic
-    * end-to-end; the oracle re-derives the histogram from the text
-    * characters, valid because the corpus is measured-ASCII (byte ≡
-    * character) — which is precisely what makes an independent engine
-    * able to check a binary decode.
+    * streams. Exact long arithmetic end-to-end; the oracle re-derives
+    * the histogram from the text characters, valid because the corpus
+    * is measured-ASCII (byte ≡ character) — which is precisely what
+    * makes an independent engine able to check a binary decode.
+    *
+    * Candidate generation is a BAND EQUI-JOIN (the C47 signature-band
+    * pattern), EXACT here by pigeonhole — no recall loss. Two facts
+    * about a pair at L1 ≤ 2: (i) at most 2 bins differ, so splitting
+    * the 16 bins into 4 bands of 4 leaves AT LEAST 2 band slices
+    * value-identical; (ii) total histogram mass = payload length, and
+    * L1 ≥ |len_a − len_b|, so lengths agree within 2 — which means the
+    * two docs' len-div-4 buckets differ by at most 1, and emitting each
+    * doc under BOTH {len div 4, len div 4 + 1} guarantees a shared
+    * bucket value. The join key is (lang, band_idx, hash(band slice,
+    * len bucket)): every true pair collides on a matching band at the
+    * shared bucket. The length component is what keeps the blocking
+    * DISCRIMINATIVE on real text — ASCII payloads leave bins 8–15
+    * identically zero, so slices alone would collide every doc with
+    * every doc through the constant bands (the degenerate case the
+    * all-pairs join this replaced was equivalent to). Candidates
+    * shuffle on the band key — 8 exploded rows per doc, pairs only
+    * among same-lang docs of ±4 bytes length with an identical slice,
+    * never O(n²/|langs|) — then the exact L1 ≤ 2 verify runs on
+    * candidates only.
     */
   def dedupMediaHistogram(s: SparkSession, d: String): DataFrame = {
+    val bands = mediaBandKeys(mediaHistograms(s, d))
+    val a = bands.select(col("lang"), col("band_idx"), col("band_key"),
+      col("doc_id").as("doc_a"), col("hist").as("ha"))
+    val b = bands.select(col("lang"), col("band_idx"), col("band_key"),
+      col("doc_id").as("doc_b"), col("hist").as("hb"))
+    a.join(b, Seq("lang", "band_idx", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        aggregate(zip_with(col("ha"), col("hb"), (x, y) => abs(x - y)),
+          lit(0L), (acc, v) => acc + v).as("l1"))
+      .distinct() // a pair may collide in several bands; l1 is functional on the pair
+      .filter(col("l1") <= 2)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 8 (band_idx, band_key) rows per histogram: 4 bin-slice bands × 2
+    * length-bucket probes (see [[dedupMediaHistogram]]'s exactness
+    * argument). Shared with the SketchSpec candidate-volume bound.
+    */
+  private[graft] def mediaBandKeys(hists: DataFrame): DataFrame =
+    hists
+      .withColumn("len", expr("aggregate(hist, 0L, (acc, v) -> acc + v)"))
+      .select(col("doc_id"), col("lang"), col("hist"),
+        explode(expr(
+          """flatten(transform(sequence(0, 3), j ->
+            |  transform(array(len div 4, len div 4 + 1), lb ->
+            |    struct(j AS band_idx,
+            |           xxhash64(slice(hist, j * 4 + 1, 4), lb) AS band_key))))""".stripMargin))
+          .as("bk"))
+      .select(col("doc_id"), col("lang"), col("hist"),
+        col("bk.band_idx").as("band_idx"), col("bk.band_key").as("band_key"))
+
+  /** (doc_id, lang, 16-bin byte histogram of the decoded PNG payload)
+    * — shared by the graded query and the SketchSpec candidate-bound
+    * test.
+    */
+  private[graft] def mediaHistograms(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val hists = documents(s, d)
+    documents(s, d)
       .select(col("doc_id"), col("lang"), encode(col("text"), "UTF-8").as("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
@@ -118,15 +173,6 @@ object Extras34 {
         }
       }
       .toDF("doc_id", "lang", "hist")
-    val a = hists.select(col("lang"), col("doc_id").as("doc_a"), col("hist").as("ha"))
-    val b = hists.select(col("lang"), col("doc_id").as("doc_b"), col("hist").as("hb"))
-    a.join(b, "lang")
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        aggregate(zip_with(col("ha"), col("hb"), (x, y) => abs(x - y)),
-          lit(0L), (acc, v) => acc + v).as("l1"))
-      .filter(col("l1") <= 2)
-      .orderBy("doc_a", "doc_b")
   }
   val dedupMediaHistogramSql: String =
     """WITH h AS (
@@ -146,7 +192,9 @@ object Extras34 {
   /** store_concurrent_cas — MULTI-WRITER commits on the dataset store:
     * four writers append disjoint order slices CONCURRENTLY through
     * [[graft.sources.DatasetStore.appendAtomic]]'s manifest-CAS
-    * (exclusive ATOMIC_MOVE onto the next version file — exactly one
+    * (an exclusive hard-link — createLink/EEXIST — onto the next
+    * version file; ATOMIC_MOVE silently replaces and is NOT exclusive,
+    * per DatasetStore's own doc — exactly one
     * winner per version, losers rebase and retry; correct for appends
     * because appends commute). The census is deterministic REGARDLESS
     * of race interleaving: all four segments land, the final snapshot

@@ -68,34 +68,17 @@ object Extras38 {
     * canonical doc that replaces it. Untouched documents never enter
     * the edge set and survive implicitly (the list is O(duplicates),
     * not O(corpus) — what you ship to the deletion job at 100 TB).
+    *
+    * The pair graph is mined once and its component labels shared with
+    * C37 via [[NearDupComponents]] — the two deliverables (cluster
+    * census, drop list) are different projections of the same fixpoint
+    * and must not each pay for the pair mining.
     */
-  def dedupKeepList(s: SparkSession, d: String): DataFrame = {
-    val pairs = DedupExtras.dedupNgramJaccard(s, d).select("doc_a", "doc_b")
-    val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").persist()
-    var comp = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp")).persist()
-    var cached = comp
-    var converged = false
-    while (!converged) {
-      val next = comp.join(sym, col("id") === col("src"))
-        .select(col("dst").as("id"), col("comp"), lit(null).cast("long").as("own"))
-        .union(comp.select(col("id"), col("comp"), col("comp").as("own")))
-        .groupBy("id").agg(min("comp").as("comp"), max("own").as("own"))
-        .persist()
-      converged = next.filter(col("comp") =!= col("own")).isEmpty
-      cached.unpersist()
-      cached = next
-      comp = next.select("id", "comp")
-    }
-    val out = comp.filter(col("id") =!= col("comp"))
+  def dedupKeepList(s: SparkSession, d: String): DataFrame =
+    NearDupComponents.labels(s, d)
+      .filter(col("id") =!= col("comp"))
       .select(col("id").as("drop_doc_id"), col("comp").as("keep_doc_id"))
       .orderBy("drop_doc_id")
-      .localCheckpoint(true)
-    cached.unpersist()
-    sym.unpersist()
-    out
-  }
   val dedupKeepListSql: String =
     """WITH RECURSIVE
       |sh AS (

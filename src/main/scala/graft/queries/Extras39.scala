@@ -20,14 +20,28 @@ object Extras39 {
     * the orders slice, censused after read-back.
     */
   def scanJsonMultiline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val dir = Files.createTempDirectory("graft_mljson_").toString
-    val rows = orders(s, d).filter(col("o_orderkey") % 100 === 0)
+    // staged DISTRIBUTED (multiLine JSON reads each file as one array,
+    // so one array file per task composes): executors write into the
+    // shared temp dir — the refZipExport local-FS staging pattern, no
+    // driver collect
+    orders(s, d).filter(col("o_orderkey") % 100 === 0)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      .orderBy("o_orderkey").collect()
-    val json = rows.map(r =>
-        s"""{"o_orderkey": ${r.getLong(0)}, "o_orderstatus": "${r.getString(1)}", "o_totalprice": ${r.getDouble(2)}}""")
-      .mkString("[\n  ", ",\n  ", "\n]")
-    Files.write(Paths.get(dir, "orders.json"), json.getBytes("UTF-8"))
+      .as[(Long, String, Double)]
+      .repartition(4, col("o_orderkey"))
+      .mapPartitions { it =>
+        val rows = it.toArray.sortBy(_._1)
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val json = rows.map { case (k, st, tp) =>
+            s"""{"o_orderkey": $k, "o_orderstatus": "$st", "o_totalprice": $tp}"""
+          }.mkString("[\n  ", ",\n  ", "\n]")
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          Files.write(Paths.get(dir, f"orders-$pid%04d.json"), json.getBytes("UTF-8"))
+          Iterator(1)
+        }
+      }.collect() // sink commit: one marker per written file, not data
     s.read.option("multiLine", "true").json(dir)
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))

@@ -20,18 +20,36 @@ object Extras40 {
     * rows null, delimiter split correct).
     */
   def scanCsvOptions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val dir = Files.createTempDirectory("graft_csvopt_").toString
-    val rows = orders(s, d).filter(col("o_orderkey") % 200 === 0)
+    // staged DISTRIBUTED: one CSV per task (header:true handles a
+    // header per file), executors write into the shared temp dir — the
+    // refZipExport local-FS staging pattern, no driver collect. The
+    // null placeholder plants on a KEY rule ((key div 200) % 7 — keys
+    // here are the multiples of 200) rather than a global row index,
+    // so the planting is independent of row-to-file assignment and the
+    // oracle recomputes it from the key alone.
+    orders(s, d).filter(col("o_orderkey") % 200 === 0)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      .orderBy("o_orderkey").collect()
-    val body = new StringBuilder("# staged by scan_csv_options\n")
-    body ++= "o_orderkey;o_orderstatus;o_totalprice\n"
-    rows.zipWithIndex.foreach { case (r, i) =>
-      val status = if (i % 7 == 0) "\\N" else r.getString(1)
-      body ++= s"${r.getLong(0)};$status;${r.getDouble(2)}\n"
-      if (i % 10 == 0) body ++= "# periodic comment line\n"
-    }
-    Files.write(Paths.get(dir, "orders.csv"), body.toString.getBytes("UTF-8"))
+      .as[(Long, String, Double)]
+      .repartition(4, col("o_orderkey"))
+      .mapPartitions { it =>
+        val rows = it.toArray.sortBy(_._1)
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val body = new StringBuilder("# staged by scan_csv_options\n")
+          body ++= "o_orderkey;o_orderstatus;o_totalprice\n"
+          rows.zipWithIndex.foreach { case ((k, st, tp), i) =>
+            val status = if ((k / 200) % 7 == 0) "\\N" else st
+            body ++= s"$k;$status;$tp\n"
+            if (i % 10 == 0) body ++= "# periodic comment line\n"
+          }
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          Files.write(Paths.get(dir, f"orders-$pid%04d.csv"),
+            body.toString.getBytes("UTF-8"))
+          Iterator(1)
+        }
+      }.collect() // sink commit: one marker per written file, not data
     s.read
       .option("sep", ";").option("comment", "#").option("header", "true")
       .option("nullValue", "\\N")
@@ -42,14 +60,10 @@ object Extras40 {
         dsum(col("o_totalprice")).as("revenue"))
   }
   val scanCsvOptionsSql: String =
-    s"""WITH src AS (
-       |  SELECT o_orderkey, o_orderstatus, o_totalprice,
-       |    row_number() OVER (ORDER BY o_orderkey) - 1 AS i
-       |  FROM orders WHERE o_orderkey % 200 = 0)
-       |SELECT count(*) AS n_rows,
-       |  count(*) FILTER (WHERE i % 7 <> 0) AS n_status_nonnull,
+    s"""SELECT count(*) AS n_rows,
+       |  count(*) FILTER (WHERE (o_orderkey // 200) % 7 <> 0) AS n_status_nonnull,
        |  ${dsumSql("o_totalprice")} AS revenue
-       |FROM src""".stripMargin
+       |FROM orders WHERE o_orderkey % 200 = 0""".stripMargin
 
   /** exec_broadcast_dictionary — the RDD-era `sparkContext.broadcast`
     * of a driver-built dictionary, consumed inside mapPartitions: the

@@ -84,11 +84,25 @@ object Extras48 {
     * byte totals.
     */
   def scanTextLinesep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val dir = Files.createTempDirectory("graft_lsep_").toString
-    val texts = documents(s, d).filter(col("doc_id") % 25 === 0)
-      .orderBy("doc_id").select("text").collect().map(_.getString(0))
-    Files.write(Paths.get(dir, "records.txt"),
-      texts.mkString("|#|").getBytes("UTF-8"))
+    // staged DISTRIBUTED: one sentinel-joined file per task (record
+    // counts compose across files), executors write into the shared
+    // temp dir — the refZipExport local-FS staging pattern, no driver
+    // collect
+    documents(s, d).filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .repartition(4, col("doc_id"))
+      .mapPartitions { it =>
+        val rows = it.toArray.sortBy(_._1)
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          Files.write(Paths.get(dir, f"records-$pid%04d.txt"),
+            rows.map(_._2).mkString("|#|").getBytes("UTF-8"))
+          Iterator(1)
+        }
+      }.collect() // sink commit: one marker per written file, not data
     s.read.option("lineSep", "|#|").text(dir)
       .agg(count(lit(1)).as("n_records"),
         sum(length(col("value"))).cast("bigint").as("total_chars"))

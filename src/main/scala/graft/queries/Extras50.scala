@@ -85,26 +85,35 @@ object Extras50 {
     * heterogeneous row counts.
     */
   def refSeabassRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val dir = Files.createTempDirectory("graft_sbrt_").toString
-    val rows = orders(s, d).filter(col("o_orderkey") % 500 === 0)
-      .select(col("o_orderkey"), col("o_totalprice")).orderBy("o_orderkey").collect()
-    val (a, b) = rows.zipWithIndex.partition(_._2 % 2 == 0)
-    def sbText(station: String, rs: Seq[(Long, Double)]): String = {
-      val header = Seq(
-        "/begin_header",
-        s"/cruise=$station",
-        "/fields=key,price_depth",
-        "/units=none,m",
-        "/delimiter=space",
-        "/end_header")
-      (header ++ rs.map { case (k, p) => s"$k $p" }).mkString("\n")
-    }
-    Files.write(Paths.get(dir, "station_a.sb"),
-      sbText("station_a", a.map(r => (r._1.getLong(0), r._1.getDouble(1))).toSeq)
-        .getBytes("UTF-8"))
-    Files.write(Paths.get(dir, "station_b.sb"),
-      sbText("station_b", b.map(r => (r._1.getLong(0), r._1.getDouble(1))).toSeq)
-        .getBytes("UTF-8"))
+    // staged DISTRIBUTED: station membership is a KEY rule ((key div
+    // 500) % 2 — keys here are the multiples of 500, so both parities
+    // occur), each task assembles and writes the stations that hashed
+    // to it — the stageSbDir executor-write pattern, no driver collect
+    orders(s, d).filter(col("o_orderkey") % 500 === 0)
+      .select(
+        when((col("o_orderkey") / 500) % 2 === 0, "station_a")
+          .otherwise("station_b").as("station"),
+        col("o_orderkey"), col("o_totalprice"))
+      .as[(String, Long, Double)]
+      .repartition(col("station"))
+      .mapPartitions { it =>
+        val byStation = it.toArray.groupBy(_._1)
+        byStation.foreach { case (station, rs) =>
+          val header = Seq(
+            "/begin_header",
+            s"/cruise=$station",
+            "/fields=key,price_depth",
+            "/units=none,m",
+            "/delimiter=space",
+            "/end_header")
+          val body = (header ++ rs.sortBy(_._2).map { case (_, k, p) => s"$k $p" })
+            .mkString("\n")
+          Files.write(Paths.get(dir, s"$station.sb"), body.getBytes("UTF-8"))
+        }
+        Iterator(byStation.size)
+      }.collect() // sink commit: stations-per-task counts, not data
     graft.sources.SbReader.readLong(s, s"$dir/*.sb")
       .filter(col("field") === "price_depth")
       .agg(count(lit(1)).as("n_values"),

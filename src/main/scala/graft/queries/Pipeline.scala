@@ -38,42 +38,14 @@ object Pipeline {
     * min label per node — an independent formulation of the same
     * components.
     */
-  def dedupClusterCc(s: SparkSession, d: String): DataFrame = {
-    val pairs = DedupExtras.dedupNgramJaccard(s, d).select("doc_a", "doc_b")
-    val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").persist()
-    var comp = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp")).persist()
-    var cached = comp // the persisted frame backing comp (for unpersist)
-    var converged = false
-    while (!converged) {
-      // own = null for neighbor-contributed rows, the node's previous
-      // label for its self row — max(own) recovers it (exactly one
-      // self row per id), so change detection is free in this pass
-      val next = comp.join(sym, col("id") === col("src"))
-        .select(col("dst").as("id"), col("comp"), lit(null).cast("long").as("own"))
-        .union(comp.select(col("id"), col("comp"), col("comp").as("own")))
-        .groupBy("id").agg(min("comp").as("comp"), max("own").as("own"))
-        .persist()
-      converged = next.filter(col("comp") =!= col("own")).isEmpty
-      cached.unpersist()
-      cached = next
-      comp = next.select("id", "comp")
-    }
-    val out = comp
+  def dedupClusterCc(s: SparkSession, d: String): DataFrame =
+    NearDupComponents.labels(s, d)
       .groupBy("comp")
       .agg(
         count(lit(1)).as("n_members"),
         concat_ws(",", array_sort(collect_list(col("id")))).as("members"))
       .select(col("comp").as("cluster_rep"), col("n_members"), col("members"))
       .orderBy("cluster_rep")
-      // truncate the iterative lineage (one small row per cluster) so the
-      // caches can be released; on a cluster this is checkpoint()
-      .localCheckpoint(true)
-    cached.unpersist()
-    sym.unpersist()
-    out
-  }
   val dedupClusterCcSql: String =
     """WITH RECURSIVE
       |sh AS (
@@ -371,4 +343,76 @@ object Pipeline {
     "pipeline_clean_corpus" -> pipelineCleanCorpusSql,
     "typed_map_groups" -> typedMapGroupsSql,
   )
+}
+
+/** Min-label connected components over the C5 near-dup pair graph,
+  * mined ONCE per sf dir and staged as a small parquet — the labels are
+  * O(duplicates) rows, not O(corpus). Both consumers of the component
+  * labels ([[Pipeline.dedupClusterCc]] and `Extras38.dedupKeepList`)
+  * read the SAME staged labels instead of each re-running the pair
+  * mining + fixpoint (~19 s of the r4 bench sat in the duplicated
+  * computation). On a cluster the stage target would be a shared
+  * temp/output location; the per-sfDir memoization is per-JVM.
+  */
+private[graft] object NearDupComponents {
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** (id, comp) labels of the near-dup graph for `d`, staged once. */
+  def labels(s: SparkSession, d: String): DataFrame = {
+    val path = cache.computeIfAbsent(d, dir => {
+      val p = java.nio.file.Files.createTempDirectory("graft_cc_").toString + "/labels"
+      val pairs = DedupExtras.dedupNgramJaccard(s, dir).select("doc_a", "doc_b")
+      minLabelComponents(pairs).write.parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
+  /** Iterative min-label propagation: each round is one equi-join of
+    * the current labels against the (symmetric) edge list keyed by node
+    * plus a min-aggregation — the large-graph CC formulation
+    * (GraphX/Pregel's label propagation as plain joins). Rounds =
+    * component diameter (short for near-dup clusters); each round
+    * shuffles O(|E|) rows by node id — no driver-side graph. The
+    * convergence probe rides the SAME aggregation: each node's own
+    * previous label travels as a second aggregate (max over rows where
+    * the label came from the node itself), so "any label changed" is a
+    * filter + limit-1 action on the already-persisted round output —
+    * no per-round join of consecutive label frames, and no label-sum
+    * aggregate (which can overflow int64 on a 10¹⁰-node corpus). The
+    * fixpoint is unique, so the result is deterministic regardless of
+    * join/iteration order. Returns (id, comp) for every node that
+    * appears in some pair.
+    */
+  def minLabelComponents(pairs: DataFrame): DataFrame = {
+    val sym = pairs.toDF("a", "b")
+    val edges = sym.select(col("a").as("src"), col("b").as("dst"))
+      .union(sym.select(col("b").as("src"), col("a").as("dst")))
+      .persist()
+    var comp = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")).persist()
+    var cached = comp // the persisted frame backing comp (for unpersist)
+    var converged = false
+    while (!converged) {
+      // own = null for neighbor-contributed rows, the node's previous
+      // label for its self row — max(own) recovers it (exactly one
+      // self row per id), so change detection is free in this pass
+      val next = comp.join(edges, col("id") === col("src"))
+        .select(col("dst").as("id"), col("comp"), lit(null).cast("long").as("own"))
+        .union(comp.select(col("id"), col("comp"), col("comp").as("own")))
+        .groupBy("id").agg(min("comp").as("comp"), max("own").as("own"))
+        .persist()
+      converged = next.filter(col("comp") =!= col("own")).isEmpty
+      cached.unpersist()
+      cached = next
+      comp = next.select("id", "comp")
+    }
+    // truncate the iterative lineage (one small row per clustered doc)
+    // so the caches can be released; on a cluster this is checkpoint()
+    val out = comp.localCheckpoint(true)
+    cached.unpersist()
+    edges.unpersist()
+    out
+  }
 }

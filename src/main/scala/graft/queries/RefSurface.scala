@@ -16,32 +16,43 @@ import graft.sources.SbReader
 object RefSurface {
 
   /** Stage a directory of synthetic `.sb` files derived from the
-    * documents table (one file per language; fields doc_id,n_chars;
-    * a '/missing=' sentinel exercised on one record). Fixture
-    * generation only — the graded operator is the parse-back.
+    * documents table (one file per language; fields doc_id,n_chars).
+    * Fixture generation only — the graded operator is the parse-back.
+    *
+    * The files are assembled on EXECUTORS (repartition by lang; each
+    * task writes the languages that hashed to it) — never an O(corpus)
+    * driver collect; peak memory is one language's rows on one
+    * executor, which is the irreducible cost of emitting a single
+    * header-framed file per language. Same local-FS assumption as
+    * [[refZipExport]]'s archive sink (documented there); the
+    * production shape writes through a committed shared location.
     */
   private def stageSbDir(s: SparkSession, d: String): String = {
-    val dir = Files.createTempDirectory("graft_sb_")
-    val docs = documents(s, d)
-      .select("lang", "doc_id", "n_chars")
-      .collect()
-      .groupBy(_.getString(0))
-    docs.foreach { case (lang, rows) =>
-      val sb = new StringBuilder
-      sb ++= "/begin_header\n"
-      sb ++= "/investigators=graft_engine\n"
-      sb ++= s"/cruise=corpus_$lang\n"
-      sb ++= "/fields=doc_id,n_chars\n"
-      sb ++= "/units=none,none\n"
-      sb ++= "/delimiter=comma\n"
-      sb ++= "/missing=-999\n"
-      sb ++= "/end_header\n"
-      rows.sortBy(_.getLong(1)).foreach { r =>
-        sb ++= s"${r.getLong(1)},${r.getLong(2)}\n"
-      }
-      Files.writeString(dir.resolve(s"corpus_$lang.sb"), sb.toString)
-    }
-    dir.toString
+    import s.implicits._
+    val dirStr = Files.createTempDirectory("graft_sb_").toString
+    documents(s, d)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .as[(String, Long, Long)]
+      .repartition(col("lang"))
+      .mapPartitions { it =>
+        val byLang = it.toArray.groupBy(_._1)
+        byLang.foreach { case (lang, rows) =>
+          val sb = new StringBuilder
+          sb ++= "/begin_header\n"
+          sb ++= "/investigators=graft_engine\n"
+          sb ++= s"/cruise=corpus_$lang\n"
+          sb ++= "/fields=doc_id,n_chars\n"
+          sb ++= "/units=none,none\n"
+          sb ++= "/delimiter=comma\n"
+          sb ++= "/missing=-999\n"
+          sb ++= "/end_header\n"
+          rows.sortBy(_._2).foreach { case (_, id, nc) => sb ++= s"$id,$nc\n" }
+          Files.writeString(
+            java.nio.file.Paths.get(dirStr, s"corpus_$lang.sb"), sb.toString)
+        }
+        Iterator(byLang.size)
+      }.collect() // sink commit: languages-per-task counts, not data
+    dirStr
   }
 
   /** ref_seabass_ingest — parse the staged `.sb` files back through

@@ -71,10 +71,30 @@ class DatasetStore(spark: SparkSession, path: String, keyCol: String) {
     spark.read.parquet(segs.map(s => new File(root, s).toString): _*)
   }
 
-  /** Write one new immutable segment, return its manifest name. */
+  /** [[readAt]] with parquet schema merging across the snapshot's
+    * segments (see [[readMerged]]) — the change-feed path needs it so a
+    * version whose segments straddle a schema evolution surfaces every
+    * column.
+    */
+  private def readAtMerged(v: Long): DataFrame = {
+    require(manifestFile(v).exists, s"store at $path has no snapshot v$v")
+    val segs = new String(Files.readAllBytes(manifestFile(v).toPath), UTF_8)
+      .split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+    spark.read.option("mergeSchema", "true")
+      .parquet(segs.map(s => new File(root, s).toString): _*)
+  }
+
+  /** Write one new immutable segment, return its manifest name. The
+    * name must be unique across store INSTANCES and JVMs (the
+    * multi-writer deployment [[appendAtomic]] invites): a random suffix
+    * plus errorifexists makes a same-millisecond collision between two
+    * instances fail loudly instead of silently overwriting the other
+    * writer's uncommitted segment.
+    */
   private def writeSegment(df: DataFrame): String = {
-    val name = s"seg_${System.currentTimeMillis()}_${seq.incrementAndGet()}"
-    df.write.mode("overwrite").parquet(new File(root, name).toString)
+    val rand = java.util.UUID.randomUUID().toString.substring(0, 8)
+    val name = s"seg_${System.currentTimeMillis()}_${seq.incrementAndGet()}_$rand"
+    df.write.mode("errorifexists").parquet(new File(root, name).toString)
     name
   }
 
@@ -273,21 +293,39 @@ class DatasetStore(spark: SparkSession, path: String, keyCol: String) {
     val seg = writeSegment(df)
     var attempt = 0
     var committed = false
-    while (!committed) {
-      val v = versions().lastOption.getOrElse(0L)
-      val segs = readManifest(branchVersion(name)) :+ seg
-      val tmp = new File(root, s"MANIFEST.tmp.${seq.incrementAndGet()}.${Thread.currentThread().getId}")
-      Files.write(tmp.toPath, segs.mkString("\n").getBytes(UTF_8))
-      try {
-        Files.createLink(manifestFile(v + 1).toPath, tmp.toPath)
-        createBranch(name, v + 1)
-        committed = true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          attempt += 1
-          require(attempt <= maxRetries,
-            s"store at $path: branch CAS lost $maxRetries version races")
-      } finally Files.deleteIfExists(tmp.toPath)
+    // The read-pointer → CAS-link → set-pointer sequence is serialized
+    // per path. Without it, a racing branch writer that loses the
+    // version-log CAS retries against the STALE branch pointer (the
+    // winner advances the pointer only after its createLink), commits a
+    // manifest missing the winner's segment, and the delayed winner's
+    // pointer write then regresses the branch past the newer commit — a
+    // lost update. The version-log CAS alone guarantees unique version
+    // NUMBERS, not branch lineage, so the pointer advance must be
+    // atomic with the read that seeded the manifest. Cross-JVM branch
+    // writers need the same serialization around the pointer (a lock
+    // service or CAS-versioned pointer files); like CURRENT advancement
+    // in [[appendAtomic]], the branch pointer's contract is JVM-local.
+    DatasetStore.pathLock(path).synchronized {
+      while (!committed) {
+        val v = versions().lastOption.getOrElse(0L)
+        val segs = readManifest(branchVersion(name)) :+ seg
+        val tmp = new File(root, s"MANIFEST.tmp.${seq.incrementAndGet()}.${Thread.currentThread().getId}")
+        Files.write(tmp.toPath, segs.mkString("\n").getBytes(UTF_8))
+        try {
+          Files.createLink(manifestFile(v + 1).toPath, tmp.toPath)
+          // advance only forward: a reset (createBranch) may move a
+          // branch backward deliberately, an append never may
+          if (v + 1 > branchVersion(name)) createBranch(name, v + 1)
+          committed = true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            // an appendAtomic writer (outside this lock) took v+1:
+            // rebase on the new version log and retry
+            attempt += 1
+            require(attempt <= maxRetries,
+              s"store at $path: branch CAS lost $maxRetries version races")
+        } finally Files.deleteIfExists(tmp.toPath)
+      }
     }
   }
 
@@ -314,18 +352,33 @@ class DatasetStore(spark: SparkSession, path: String, keyCol: String) {
     * at write time instead.
     */
   def changeFeed(vFrom: Long, vTo: Long): DataFrame = {
-    val before = readAt(vFrom)
-    val after = readAt(vTo)
-    val dataCols = before.columns.filterNot(_ == keyCol).toSeq
-    val b = dataCols.foldLeft(before) { (df, c) => df.withColumnRenamed(c, s"__b_$c") }
-      .withColumn("__b_present", lit(true)) // presence marker survives the outer join
-    val a = dataCols.foldLeft(after) { (df, c) => df.withColumnRenamed(c, s"__a_$c") }
-      .withColumn("__a_present", lit(true))
+    val before = readAtMerged(vFrom)
+    val after = readAtMerged(vTo)
+    // column set = the UNION of both snapshots' schemas: the store
+    // supports schema evolution (readMerged), so the two versions may
+    // not share columns — a side missing a column contributes typed
+    // NULLs, and a value appearing where there was no column before
+    // classifies as an update
+    val dtypes = (before.schema ++ after.schema).map(f => f.name -> f.dataType).toMap
+    val dataCols = (before.columns ++ after.columns).distinct.filterNot(_ == keyCol).toSeq
+    def side(df: DataFrame, p: String): DataFrame = {
+      val full = dataCols.foldLeft(df) { (acc, c) =>
+        if (acc.columns.contains(c)) acc else acc.withColumn(c, lit(null).cast(dtypes(c)))
+      }
+      full.columns.filter(dataCols.contains).foldLeft(full) { (acc, c) =>
+        acc.withColumnRenamed(c, s"__${p}_$c")
+      }.withColumn(s"__${p}_present", lit(true)) // presence marker survives the outer join
+    }
+    val b = side(before, "b")
+    val a = side(after, "a")
     val joined = b.join(a, Seq(keyCol), "full_outer")
     val bPresent = col("__b_present").isNotNull
     val aPresent = col("__a_present").isNotNull
-    val changed = dataCols.map(c => not(col(s"__b_$c") <=> col(s"__a_$c")))
-      .reduce(_ || _)
+    // a key-only schema has no data columns: inserts/deletes still
+    // classify, nothing can be an update
+    val changed =
+      if (dataCols.isEmpty) lit(false)
+      else dataCols.map(c => not(col(s"__b_$c") <=> col(s"__a_$c"))).reduce(_ || _)
     joined
       .withColumn("change_type",
         when(!bPresent && aPresent, "insert")

@@ -99,39 +99,51 @@ object MediaCodec {
       new String(blob, 8, 4, "US-ASCII") == "WAVE") decodeWav(docId, blob)
     else throw new IllegalArgumentException(s"doc $docId: unrecognized container magic")
 
+  /** Inflate one zlib stream assembled from ALL IDAT chunks. Per the
+    * PNG spec a datastream may split across multiple IDAT chunks, each
+    * holding an arbitrary slice of ONE deflate stream — inflating
+    * chunks independently rejects conformant files on the first
+    * partial chunk, so the chunk walk concatenates first and inflates
+    * once.
+    */
+  private def inflateIdat(docId: Long, idat: Array[Byte]): Array[Byte] = {
+    val inflater = new Inflater()
+    inflater.setInput(idat)
+    val out = new java.io.ByteArrayOutputStream(idat.length * 4)
+    val buf = new Array[Byte](8192)
+    while (!inflater.finished()) {
+      val k = inflater.inflate(buf)
+      require(k > 0 || inflater.finished(), s"doc $docId: truncated IDAT stream")
+      out.write(buf, 0, k)
+    }
+    inflater.end()
+    out.toByteArray
+  }
+
   /** Decode and return the raw payload bytes (the decompressed IDAT
     * stream for PNG, the data subchunk for WAV) — the pixel/sample
     * accessor that content-level feature extraction builds on, with
-    * the same validation as [[decode]].
+    * the same validation as [[decode]] (IHDR CRC included).
     */
   def decodePayload(docId: Long, blob: Array[Byte]): Array[Byte] =
     if (blob.length >= 8 && blob.take(8).sameElements(PngSig)) {
       val bb = ByteBuffer.wrap(blob).order(ByteOrder.BIG_ENDIAN).position(8)
-      var payload: Array[Byte] = Array.empty
+      val idat = new java.io.ByteArrayOutputStream()
       var done = false
       while (!done && bb.remaining() >= 12) {
         val len = bb.getInt
         val typ = new Array[Byte](4); bb.get(typ)
         val data = new Array[Byte](len); bb.get(data)
-        bb.getInt // CRC (verified on the decode() path)
+        val storedCrc = bb.getInt
         new String(typ, "US-ASCII") match {
-          case "IDAT" =>
-            val inflater = new Inflater()
-            inflater.setInput(data)
-            val out = new java.io.ByteArrayOutputStream(data.length * 4)
-            val buf = new Array[Byte](8192)
-            while (!inflater.finished()) {
-              val k = inflater.inflate(buf)
-              require(k > 0 || inflater.finished(), s"doc $docId: truncated IDAT stream")
-              out.write(buf, 0, k)
-            }
-            inflater.end()
-            payload = out.toByteArray
+          case "IHDR" =>
+            require(storedCrc == crc32(typ, data), s"doc $docId: IHDR CRC mismatch")
+          case "IDAT" => idat.write(data)
           case "IEND" => done = true
           case _ => ()
         }
       }
-      payload
+      inflateIdat(docId, idat.toByteArray)
     } else if (blob.length >= 12 &&
       new String(blob, 0, 4, "US-ASCII") == "RIFF" &&
       new String(blob, 8, 4, "US-ASCII") == "WAVE") {
@@ -151,7 +163,7 @@ object MediaCodec {
   private def decodePng(docId: Long, blob: Array[Byte]): MediaFeatures = {
     val bb = ByteBuffer.wrap(blob).order(ByteOrder.BIG_ENDIAN).position(8)
     var width, height, channels = 0L
-    var payload: Array[Byte] = Array.empty
+    val idat = new java.io.ByteArrayOutputStream()
     var done = false
     while (!done && bb.remaining() >= 12) {
       val len = bb.getInt
@@ -173,22 +185,12 @@ object MediaCodec {
             case other => throw new IllegalArgumentException(
               s"doc $docId: unsupported color type $other")
           }
-        case "IDAT" =>
-          val inflater = new Inflater()
-          inflater.setInput(data)
-          val out = new java.io.ByteArrayOutputStream(data.length * 4)
-          val buf = new Array[Byte](8192)
-          while (!inflater.finished()) {
-            val k = inflater.inflate(buf)
-            require(k > 0 || inflater.finished(), s"doc $docId: truncated IDAT stream")
-            out.write(buf, 0, k)
-          }
-          inflater.end()
-          payload = out.toByteArray
+        case "IDAT" => idat.write(data) // slices of ONE zlib stream
         case "IEND" => done = true
         case _ => () // ancillary chunk: skip
       }
     }
+    val payload = inflateIdat(docId, idat.toByteArray)
     MediaFeatures(docId, "png", payload.length.toLong, width, height, channels,
       sample_rate = 0L, payload_sum = byteSum(payload))
   }

@@ -167,6 +167,30 @@ class SketchSpec extends SparkSpec {
     info(f"persisted-IVF probe recall vs brute force: $recall%.2f")
   }
 
+  test("dedup_media_histogram: banded route finds the planted one-edit pair; candidates bounded") {
+    import org.apache.spark.sql.functions._
+    // planted (1,2): one word substituted ("wide"→"narrow") — histogram
+    // L1 = 2 exactly (bin6 net 0, bin7 net +2), the boundary the banding
+    // must not lose
+    val pairs = graft.queries.Extras34.dedupMediaHistogram(spark, plantedDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"planted pair (1,2) missing from $pairs")
+    // candidate volume on the sf corpus: the band join must produce far
+    // fewer pairs than the all-pairs-within-language join it replaced
+    val hists = graft.queries.Extras34.mediaHistograms(spark, sf)
+    val bands = graft.queries.Extras34.mediaBandKeys(hists)
+    val cand = bands
+      .select(col("lang"), col("band_idx"), col("band_key"), col("doc_id").as("a"))
+      .join(bands.select(col("lang"), col("band_idx"), col("band_key"), col("doc_id").as("b")),
+        Seq("lang", "band_idx", "band_key"))
+      .filter(col("a") < col("b")).select("a", "b").distinct().count()
+    val allPairs = hists.groupBy("lang").count().collect()
+      .map(r => { val n = r.getLong(1); n * (n - 1) / 2 }).sum
+    info(f"banded candidates: $cand of $allPairs all-pairs (${100.0 * cand / allPairs}%.1f%%)")
+    assert(cand < allPairs / 2,
+      s"banding did not materially bound candidates: $cand vs $allPairs")
+  }
+
   test("sim_topk_lsh: exact sims, sorted, and recall >= 0.3 vs brute force") {
     val exact = LlmOps.simTopkCosine(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
