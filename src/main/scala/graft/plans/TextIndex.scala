@@ -77,6 +77,7 @@ object TextIndex {
   }
 
   val name = "graft_text_search"
+  val prefixName = "graft_token_prefix"
   @volatile private var registered = Set.empty[SparkSession]
   def registerFunction(s: SparkSession): Unit =
     if (!registered.contains(s)) synchronized {
@@ -84,6 +85,10 @@ object TextIndex {
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftTextSearch].getName, name),
         (children: Seq[Expression]) => GraftTextSearch(children(0), children(1)))
+      s.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(prefixName),
+        new ExpressionInfo(classOf[GraftTokenPrefix].getName, prefixName),
+        (children: Seq[Expression]) => GraftTokenPrefix(children(0), children(1)))
       registered += s
     }
 }
@@ -112,6 +117,66 @@ case class GraftTextSearch(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Term-level PREFIX wildcard predicate — the reference DSL's
+  * `field:abc*` (A5) with Lucene's semantics: wildcards match TERMS,
+  * so a document matches when SOME space-token of `lower(text)` starts
+  * with the (space-free, lowercase) prefix. Standalone it is a
+  * row-local token walk; under [[TextIndexSearchRule]] it compiles to
+  * a token-RANGE semi-join on the inverted index
+  * (`token ∈ [prefix, prefix⁺)`) and the text column is never scanned.
+  */
+case class GraftTokenPrefix(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"arguments must be strings, got (${left.dataType}, ${right.dataType})")
+
+  // a space-free prefix can never straddle a token boundary, so
+  // startsWith at each token start IS token-level prefix match
+  override protected def nullSafeEval(text: Any, prefix: Any): Any = {
+    val t = text.asInstanceOf[UTF8String].toLowerCase.toString
+    val p = prefix.asInstanceOf[UTF8String].toLowerCase.toString
+    var i = 0
+    var found = false
+    while (!found && i <= t.length) {
+      if (t.startsWith(p, i)) found = true
+      else {
+        val j = t.indexOf(' ', i)
+        i = if (j < 0) t.length + 1 else j + 1
+      }
+    }
+    found
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val t = ctx.freshName("t")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      s"""
+         |String $t = $a.toLowerCase().toString();
+         |String $p = $b.toLowerCase().toString();
+         |int $i = 0;
+         |while (!${ev.value} && $i <= $t.length()) {
+         |  if ($t.startsWith($p, $i)) { ${ev.value} = true; }
+         |  else {
+         |    int $j = $t.indexOf(' ', $i);
+         |    $i = ($j < 0) ? $t.length() + 1 : $j + 1;
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GraftTokenPrefix =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Rewrite `graft_text_search(textCol, 'term')` conjuncts into
   * LeftSemi joins against the inverted index. Fires only when the
   * session confs point at an index, the searched attribute IS the
@@ -137,11 +202,34 @@ case class TextIndexSearchRule(spark: SparkSession)
     Some((plan, plan.output.head))
   }
 
+  /** Index id-set for a token PREFIX: a token RANGE [p, p⁺) — p⁺ is p
+    * with its last char incremented, so binary string ordering makes
+    * the interval exactly the p-prefixed tokens — which parquet prunes
+    * by row-group min/max, plus the pushable StartsWith itself
+    * (belt-and-braces; also covers the p⁺ overflow edge). Exact: the
+    * index rows ARE the doc's distinct tokens, so "some token starts
+    * with p" ⇔ "doc_id in this id-set" and no residual verify is
+    * needed.
+    */
+  private def prefixIndexPlanFor(prefix: String): Option[(LogicalPlan, Attribute)] = {
+    val path = spark.conf.getOption(TextIndex.pathConf).getOrElse(return None)
+    val idCol = spark.conf.get(TextIndex.idColConf, "doc_id")
+    val p = prefix.toLowerCase
+    val ranged =
+      if (p.last < Char.MaxValue) {
+        val upper = p.init + (p.last + 1).toChar
+        col("token") >= p && col("token") < upper && col("token").startsWith(p)
+      } else col("token").startsWith(p)
+    val df = spark.read.parquet(path).filter(ranged).select(col(idCol))
+    val plan = df.queryExecution.analyzed
+    Some((plan, plan.output.head))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (spark.conf.getOption(TextIndex.pathConf).isEmpty) return plan
     val idCol = spark.conf.get(TextIndex.idColConf, "doc_id")
     val textCol = spark.conf.get(TextIndex.textColConf, "text")
-    plan.transform {
+    val rewritten = plan.transform {
       case f @ Filter(cond, child)
           if f.getTagValue(rewrittenTag).isEmpty &&
              child.output.exists(_.name == idCol) =>
@@ -150,27 +238,41 @@ case class TextIndexSearchRule(spark: SparkSession)
         val (rewritable, rest) = conjuncts.partition {
           case GraftTextSearch(a: Attribute, Literal(t, StringType))
             if t != null && t.toString.trim.nonEmpty && a.name == textCol => true
+          case GraftTokenPrefix(a: Attribute, Literal(t, StringType))
+            if t != null && t.toString.trim.nonEmpty && !t.toString.contains(' ') &&
+               a.name == textCol => true
           case _ => false
         }
         if (rewritable.isEmpty) f
         else {
           var newChild: LogicalPlan = child
           val residual = scala.collection.mutable.ArrayBuffer.empty[Expression]
-          rewritable.foreach { case g @ GraftTextSearch(_, Literal(term, _)) =>
-            val parts = term.toString.toLowerCase.split(' ').filter(_.nonEmpty)
-            var joined = false
-            parts.foreach { p =>
-              indexPlanFor(p) match {
+          rewritable.foreach {
+            case g @ GraftTextSearch(_, Literal(term, _)) =>
+              val parts = term.toString.toLowerCase.split(' ').filter(_.nonEmpty)
+              var joined = false
+              parts.foreach { p =>
+                indexPlanFor(p) match {
+                  case Some((idx, idxId)) =>
+                    newChild = Join(newChild, idx, LeftSemi,
+                      Some(EqualTo(childId, idxId)), JoinHint.NONE)
+                    joined = true
+                  case None => ()
+                }
+              }
+              // single space-free token: token-contains ⇔ text-contains,
+              // predicate dropped. Phrase: candidates only — verify.
+              if (!joined || parts.length > 1) residual += g
+            case g @ GraftTokenPrefix(_, Literal(p, _)) =>
+              prefixIndexPlanFor(p.toString) match {
                 case Some((idx, idxId)) =>
+                  // token-range id-set is EXACT for a prefix (see
+                  // prefixIndexPlanFor) — predicate dropped
                   newChild = Join(newChild, idx, LeftSemi,
                     Some(EqualTo(childId, idxId)), JoinHint.NONE)
-                  joined = true
-                case None => ()
+                case None => residual += g
               }
-            }
-            // single space-free token: token-contains ⇔ text-contains,
-            // predicate dropped. Phrase: candidates only — verify.
-            if (!joined || parts.length > 1) residual += g
+            case g => residual += g
           }
           val out = (rest ++ residual).reduceOption(And)
             .map(Filter(_, newChild)).getOrElse(newChild)
@@ -178,5 +280,12 @@ case class TextIndexSearchRule(spark: SparkSession)
           out
         }
     }
+    // This rule runs AFTER the main optimizer's pruning batch, so a
+    // predicate we dropped leaves its column (e.g. `text`) in the scan's
+    // read schema unless pruning runs again — re-prune so the whole
+    // point of the index (never materializing the text bytes for the
+    // filter) shows up in the physical scan.
+    if (rewritten.fastEquals(plan)) plan
+    else org.apache.spark.sql.catalyst.optimizer.ColumnPruning(rewritten)
   }
 }

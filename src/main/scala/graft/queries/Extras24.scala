@@ -63,12 +63,18 @@ object Extras24 {
   /** sim_index_probe — probe the PERSISTED IVF index (SURVEY C151,
     * VERDICT r3 "What's missing" #2): the query-side half of the ANN
     * service. Each probe ranks the 16 coarse centroids (driver-trivial
-    * at any corpus scale), takes its nprobe=6 nearest cells, and the
-    * probed cells' union — at most 10×6 smallints, collected ONLY to
-    * seed a static partition filter — prunes the index scan to the
+    * at any corpus scale), takes its nprobe nearest cells, and the
+    * probed cells' union — at most 10×nprobe smallints, collected ONLY
+    * to seed a static partition filter — prunes the index scan to the
     * touched cell directories before the per-probe equi-join narrows
     * rows to each probe's own cells. Exact re-rank to top-5 runs on
     * candidates only.
+    *
+    * nprobe scales with CELL OCCUPANCY (the standard IVF tuning; r4
+    * verdict #9): nprobe(n) = min(ncells, ⌈6·√(n/500)⌉) — 6 at the
+    * 500-vector gate corpus, 12 at sf0.1's 2000 vectors. The oracle
+    * mirrors the same rule with a scalar-subquery count, so the two
+    * engines always probe identically at any scale factor.
     *
     * Oracle: an ALGORITHM MIRROR in the independent engine — DuckDB
     * re-derives the centroid assignment, probed-cell ranking,
@@ -88,6 +94,8 @@ object Extras24 {
   def simIndexProbe(s: SparkSession, d: String): DataFrame = {
     val idx = s.read.parquet(buildIndex(s, d))
     val e = embeddings(s, d)
+    val nprobe = math.min(NCells,
+      math.ceil(NProbe * math.sqrt(e.count() / 500.0)).toInt)
     val cents = e.filter(col("vec_id") < NCells)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
     val probes = e.filter(col("vec_id") < 10)
@@ -97,7 +105,7 @@ object Extras24 {
       .select(col("probe_id"), col("probe_emb"), col("cent_id"),
         dotD(s, "probe_emb", "cent_emb").as("cdist"))
       .withColumn("crn", row_number().over(wc))
-      .filter(col("crn") <= NProbe)
+      .filter(col("crn") <= nprobe)
       .select(col("probe_id"), col("probe_emb"), col("cent_id").cast("int").as("cell"))
     // bounded collect (≤ 10 probes × 6 cells) whose only job is to turn
     // the probed-cell union into a scan-level partition filter
@@ -134,7 +142,8 @@ object Extras24 {
        |        ORDER BY ${dotSqlCols("p.embedding", "c.cent_emb")} DESC,
        |                 c.cent_id ASC) AS crn
        |    FROM embeddings p CROSS JOIN cents c WHERE p.vec_id < 10)
-       |  WHERE crn <= $NProbe)
+       |  WHERE crn <= LEAST($NCells, CAST(ceil(
+       |    $NProbe * sqrt((SELECT count(*) FROM embeddings) / 500.0)) AS INT)))
        |SELECT probe_id, vec_id, sim, rn FROM (
        |  SELECT pc.probe_id, a.vec_id,
        |    round(${dotSqlCols("pc.probe_emb", "a.embedding")}, 6) AS sim,

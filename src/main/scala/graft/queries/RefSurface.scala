@@ -27,7 +27,7 @@ object RefSurface {
     * [[refZipExport]]'s archive sink (documented there); the
     * production shape writes through a committed shared location.
     */
-  private def stageSbDir(s: SparkSession, d: String): String = {
+  private[graft] def stageSbDir(s: SparkSession, d: String): String = {
     import s.implicits._
     val dirStr = Files.createTempDirectory("graft_sb_").toString
     documents(s, d)
@@ -470,7 +470,7 @@ object RefSurface {
   private val indexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Build (once per sfDir) and enable the inverted text index. */
-  private def enableTextIndex(s: SparkSession, d: String): Unit = {
+  private[graft] def enableTextIndex(s: SparkSession, d: String): Unit = {
     val idxPath = indexCache.computeIfAbsent(d, dir => {
       val p = Files.createTempDirectory("graft_tidx_").toString
       graft.plans.TextIndex.build(documents(s, dir), "doc_id", "text", p)

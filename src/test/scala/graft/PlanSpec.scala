@@ -334,6 +334,42 @@ class PlanSpec extends SparkSpec {
       s"lambda filter unexpectedly appeared as a pushed filter:\n$pLam")
   }
 
+  test("ref_dataset_query_full: DSL range pushed to the scan, ONE pgroup semi-join") {
+    val df = graft.queries.Extras52.refDatasetQueryFull(spark, sf)
+    val p = plan(df)
+    // the DSL's n_chars:[100 TO 450] range reaches the parquet scan
+    assert(p.contains("PushedFilters: [") && p.contains("GreaterThanOrEqual(n_chars,100"),
+      s"DSL range filter not pushed to the documents scan:\n$p")
+    // pgroup membership is ONE logical semi-join; it appears once per
+    // consumer of the filtered set (rank pass, offset pass, total) and
+    // exchange reuse dedupes the work at runtime
+    assert("LeftSemi".r.findAllIn(p).nonEmpty,
+      s"pgroup semi-join missing:\n$p")
+    assert(!p.contains("SortMergeJoin LeftSemi"),
+      s"pgroup semi-join should broadcast (config-file sized side):\n$p")
+  }
+
+  test("ref_text_wildcard_search: token-range semi-join fires, no text-scan residual") {
+    import org.apache.spark.sql.functions.expr
+    val df = graft.queries.Extras52.refTextWildcardSearch(spark, sf)
+    val p = plan(df)
+    assert(p.contains("LeftSemi"), s"no semi-join — prefix rewrite did not fire:\n$p")
+    assert(p.contains("graft_tidx_"), s"index table not scanned:\n$p")
+    // the predicate is DROPPED (exact id-set): no residual token walk,
+    // and the documents scan does not read the text column at all
+    assert(!p.toLowerCase.contains("grafttokenprefix"),
+      s"prefix predicate survived as a residual filter:\n$p")
+    val docScans = p.linesIterator.filter(l =>
+      l.contains("documents.parquet") && l.contains("ReadSchema")).toSeq
+    assert(docScans.nonEmpty && docScans.forall(!_.contains("text:string")),
+      s"documents scan still reads the text column:\n${docScans.mkString("\n")}")
+    // semantics match the standalone row-local token walk
+    val expected = graft.Tables.documents(spark, sf)
+      .filter(expr(s"${graft.plans.TextIndex.prefixName}(text, 'merg')"))
+      .count()
+    assert(df.count() == expected)
+  }
+
   test("text-index rule leaves non-indexed columns to the scan path") {
     import org.apache.spark.sql.functions.{col, expr, lower}
     graft.queries.RefSurface.refTextIndexSearch(spark, sf).count() // ensures index enabled

@@ -118,6 +118,22 @@ class SketchSpec extends SparkSpec {
       s"all-pairs nested loop still in plan:\n$p")
   }
 
+  test("dedup_embed_cosine: occupancy-scaled nprobe holds recall >= 0.995 at sf0.1") {
+    // 4× the gate corpus: fixed nprobe=10 measured 99.57% here (r4
+    // docstring); the ⌈10·√(n/500)⌉ rule probes 20 cells and must not
+    // fall below the spec floor — and stays exact (verify-on-candidates
+    // means no false positives ever)
+    val big = "/root/testdata/sf0.1"
+    val exact = DedupExtras.dedupEmbedCosineAllPairs(spark, big).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val via = DedupExtras.dedupEmbedCosine(spark, big).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (via & exact).size.toDouble / exact.size
+    info(f"sf0.1 candidate-route recall with scaled nprobe: $recall%.4f")
+    assert(recall >= 0.995, s"recall $recall below 0.995 with occupancy-scaled nprobe")
+    assert((via -- exact).isEmpty, "candidate route produced false positives")
+  }
+
   test("sim_topk_ivf: exact sims, sorted, and recall >= 0.3 vs brute force") {
     val exact = LlmOps.simTopkCosine(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
