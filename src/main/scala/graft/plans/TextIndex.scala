@@ -284,8 +284,20 @@ case class TextIndexSearchRule(spark: SparkSession)
     // predicate we dropped leaves its column (e.g. `text`) in the scan's
     // read schema unless pruning runs again — re-prune so the whole
     // point of the index (never materializing the text bytes for the
-    // filter) shows up in the physical scan.
+    // filter) shows up in the physical scan. Pruning REBUILDS nodes and
+    // drops TreeNodeTags, which would un-tag a phrase's residual Filter
+    // and make the next fixed-point iteration rewrite it AGAIN (observed:
+    // doubled semi-joins, 0.7 s → 17 s at sf0.1) — so every surviving
+    // Filter is re-tagged: all rewritable conjuncts were processed in
+    // THIS pass, nothing legitimate remains for a second one.
     if (rewritten.fastEquals(plan)) plan
-    else org.apache.spark.sql.catalyst.optimizer.ColumnPruning(rewritten)
+    else {
+      val pruned = org.apache.spark.sql.catalyst.optimizer.ColumnPruning(rewritten)
+      pruned.foreach {
+        case f: Filter => f.setTagValue(rewrittenTag, true)
+        case _ => ()
+      }
+      pruned
+    }
   }
 }

@@ -21,7 +21,7 @@ object Extras52 {
     * multipliers (7919/4409, coprime to the moduli) spread the small
     * doc_id domain across the full lon/lat range.
     */
-  private def datasetMeta(s: SparkSession, d: String): DataFrame =
+  private[graft] def datasetMeta(s: SparkSession, d: String): DataFrame =
     documents(s, d).select(
       col("doc_id"), col("lang"), col("text"), col("n_chars"),
       ((col("doc_id") * 7919 % 36000).cast("double") / 100.0 - 180.0).as("lon"),

@@ -247,10 +247,13 @@ class PlanSpec extends SparkSpec {
       s"no dynamic partition pruning in fact scan:\n$p")
   }
 
-  test("sim_knn_join broadcasts the corpus side (no shuffle for the pair stream)") {
+  test("sim_knn_join broadcasts the PROBE side; the corpus streams (no n² shuffle)") {
     val p = plan(graft.queries.Extras7.simKnnJoin(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      s"corpus side not broadcast:\n$p")
+      s"probe side not broadcast:\n$p")
+    // the probe sample, not the corpus, is the built (broadcast) side:
+    // the corpus scan must sit on the streaming side of the BNLJ
+    assert(p.contains("BuildRight"), s"expected the sampled probes as build side:\n$p")
   }
 
   test("join_merge_hint forces a sort-merge join") {
