@@ -32,21 +32,43 @@ object GlobalRank {
     * dropped.
     */
   def withGlobalRowNumber(df: DataFrame, rnCol: String, sortExprs: Seq[Column],
-      partitions: Int = 32): DataFrame = {
+      partitions: Int = 32): DataFrame =
+    ranked(df, rnCol, None, sortExprs, partitions)
+
+  /** [[withGlobalRowNumber]] plus `totalCol` = the GLOBAL row count as
+    * a column — the `total_count` the reference returns beside every
+    * page. The total rides the SAME per-partition counts the offset
+    * prefix-sum already aggregates (one more window over the
+    * ≤N_partitions rows), so callers don't pay a second full
+    * aggregation pass over the input just to count it (the r4 shape:
+    * `groupBy().count` + crossJoin recomputed the whole filtered
+    * subplan a third time).
+    */
+  def withGlobalRowNumberAndTotal(df: DataFrame, rnCol: String, totalCol: String,
+      sortExprs: Seq[Column], partitions: Int = 32): DataFrame =
+    ranked(df, rnCol, Some(totalCol), sortExprs, partitions)
+
+  private def ranked(df: DataFrame, rnCol: String, totalCol: Option[String],
+      sortExprs: Seq[Column], partitions: Int): DataFrame = {
     val ranged = df.repartitionByRange(partitions, sortExprs: _*)
       .withColumn("_grank_pid", spark_partition_id())
-    val offsets = ranged.groupBy("_grank_pid").agg(count(lit(1)).as("_grank_cnt"))
+    val counts = ranged.groupBy("_grank_pid").agg(count(lit(1)).as("_grank_cnt"))
+    val wAll = Window.orderBy("_grank_pid")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = counts
       .withColumn("_grank_off",
         coalesce(
           sum(col("_grank_cnt")).over(
             Window.orderBy("_grank_pid").rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
-      .select("_grank_pid", "_grank_off")
-    ranged
+      .withColumn("_grank_total", sum(col("_grank_cnt")).over(wAll))
+      .select("_grank_pid", "_grank_off", "_grank_total")
+    val joined = ranged
       .join(broadcast(offsets), "_grank_pid")
       .withColumn("_grank_lrn",
         row_number().over(Window.partitionBy("_grank_pid").orderBy(sortExprs: _*)))
       .withColumn(rnCol, (col("_grank_off") + col("_grank_lrn")).cast("long"))
-      .drop("_grank_pid", "_grank_off", "_grank_lrn")
+    totalCol.fold(joined)(t => joined.withColumn(t, col("_grank_total").cast("long")))
+      .drop("_grank_pid", "_grank_off", "_grank_lrn", "_grank_total")
   }
 }

@@ -79,12 +79,11 @@ object Extras52 {
       .filter(col("status").isin("PUBLISHED", "VALIDATED", "SUBMITTED"))
       .join(members, Seq("doc_id"), "left_semi")
       .select("doc_id", "lang", "n_chars", "status", "wdepth")
-    val rned = graft.plans.GlobalRank.withGlobalRowNumber(
-      filtered, "rn", Seq(col("doc_id").asc))
-    val total = filtered.groupBy().agg(count(lit(1)).as("total_count"))
-    rned
+    // total_count rides the rank pass's own per-partition counts —
+    // no third computation of the filtered subplan just to count it
+    graft.plans.GlobalRank.withGlobalRowNumberAndTotal(
+        filtered, "rn", "total_count", Seq(col("doc_id").asc))
       .filter(col("rn") > 10 && col("rn") <= 30)
-      .crossJoin(broadcast(total))
       .select(col("doc_id"), col("lang"), col("n_chars"), col("status"),
         col("wdepth"), col("rn"), col("total_count"))
       .orderBy("rn")

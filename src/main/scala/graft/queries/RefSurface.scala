@@ -212,12 +212,11 @@ object RefSurface {
     */
   def pageOffsetLimit(s: SparkSession, d: String): DataFrame = {
     val base = customer(s, d).select(col("c_custkey"), col("c_name"), col("c_acctbal"))
-    val rned = graft.plans.GlobalRank.withGlobalRowNumber(
-      base, "rn", Seq(col("c_acctbal").desc, col("c_custkey").asc))
-    val total = base.groupBy().agg(count(lit(1)).as("total_count"))
-    rned
+    // total_count rides the rank pass's per-partition counts — no
+    // second aggregation pass over the input just to count it
+    graft.plans.GlobalRank.withGlobalRowNumberAndTotal(
+        base, "rn", "total_count", Seq(col("c_acctbal").desc, col("c_custkey").asc))
       .filter(col("rn") > 20 && col("rn") <= 40)
-      .crossJoin(broadcast(total))
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("rn"), col("total_count"))
       .orderBy("rn")
   }
