@@ -369,17 +369,21 @@ private[graft] object NearDupComponents {
     s.read.parquet(path)
   }
 
-  /** Iterative min-label propagation: each round is one equi-join of
-    * the current labels against the (symmetric) edge list keyed by node
-    * plus a min-aggregation — the large-graph CC formulation
-    * (GraphX/Pregel's label propagation as plain joins). Rounds =
-    * component diameter (short for near-dup clusters); each round
+  /** Iterative min-label propagation WITH POINTER JUMPING: each round
+    * unions three label sources keyed by node — (i) neighbor labels
+    * via one equi-join against the (symmetric) edge list (GraphX/
+    * Pregel's propagation as plain joins), (ii) the label's OWN label
+    * (comp := label(comp), a self-join of the tiny labels frame — the
+    * pointer-jumping step that makes convergence O(log diameter)
+    * instead of O(diameter) rounds; labels only ever decrease toward
+    * the component minimum, so the fixpoint is unchanged), and (iii)
+    * the node's previous label — then one min-aggregation. Each round
     * shuffles O(|E|) rows by node id — no driver-side graph. The
-    * convergence probe rides the SAME aggregation: each node's own
-    * previous label travels as a second aggregate (max over rows where
-    * the label came from the node itself), so "any label changed" is a
-    * filter + limit-1 action on the already-persisted round output —
-    * no per-round join of consecutive label frames, and no label-sum
+    * convergence probe rides the SAME aggregation: the previous label
+    * travels as a second aggregate (max over rows where the label came
+    * from the node itself), so "any label changed" is a filter +
+    * limit-1 action on the already-persisted round output — no
+    * per-round join of consecutive label frames, and no label-sum
     * aggregate (which can overflow int64 on a 10¹⁰-node corpus). The
     * fixpoint is unique, so the result is deterministic regardless of
     * join/iteration order. Returns (id, comp) for every node that
@@ -395,11 +399,16 @@ private[graft] object NearDupComponents {
     var cached = comp // the persisted frame backing comp (for unpersist)
     var converged = false
     while (!converged) {
-      // own = null for neighbor-contributed rows, the node's previous
-      // label for its self row — max(own) recovers it (exactly one
-      // self row per id), so change detection is free in this pass
-      val next = comp.join(edges, col("id") === col("src"))
+      val viaEdges = comp.join(edges, col("id") === col("src"))
         .select(col("dst").as("id"), col("comp"), lit(null).cast("long").as("own"))
+      // pointer jump: every label is itself a node id, so its current
+      // label is one lookup in the same frame
+      val viaLabels = comp
+        .join(comp.select(col("id").as("_cid"), col("comp").as("_ccomp")),
+          col("comp") === col("_cid"))
+        .select(col("id"), col("_ccomp").as("comp"), lit(null).cast("long").as("own"))
+      val next = viaEdges
+        .union(viaLabels)
         .union(comp.select(col("id"), col("comp"), col("comp").as("own")))
         .groupBy("id").agg(min("comp").as("comp"), max("own").as("own"))
         .persist()
