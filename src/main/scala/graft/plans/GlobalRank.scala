@@ -23,8 +23,28 @@ import org.apache.spark.sql.functions._
   *
   * The result is bit-identical to the single-partition formulation for
   * a total (tie-free) sort order, with every heavy stage parallel.
+  *
+  * CONSISTENCY: both passes traverse the same range exchange; Spark's
+  * ReuseExchange materializes it once, so partition ids agree between
+  * the counts pass and the rank pass. A NONDETERMINISTIC input would
+  * defeat that reuse — each traversal would re-sample range boundaries
+  * under a fresh `rdd.id` seed and assign rows to different partitions,
+  * silently corrupting ranks. Any nondeterministic input is therefore
+  * pinned with an eager `localCheckpoint` first (the materialization a
+  * two-pass algorithm over unstable input needs at any scale).
   */
 object GlobalRank {
+
+  /** Materialize `df` iff its plan contains a nondeterministic
+    * expression (rand, monotonically_increasing_id, shuffle, ...), so
+    * the two passes below see one consistent snapshot.
+    */
+  private def pinIfNondeterministic(df: DataFrame): DataFrame = {
+    val nonDet = df.queryExecution.analyzed.collectFirst {
+      case p if p.expressions.exists(e => !e.deterministic) => p
+    }
+    if (nonDet.isDefined) df.localCheckpoint(true) else df
+  }
 
   /** Add `rnCol` = 1-based global row number of the total order given
     * by `sortExprs` (which must be a tie-free ordering — include a
@@ -48,9 +68,48 @@ object GlobalRank {
       sortExprs: Seq[Column], partitions: Int = 32): DataFrame =
     ranked(df, rnCol, Some(totalCol), sortExprs, partitions)
 
+  /** Add `sumCol` = the EXCLUSIVE global prefix-sum of `valueCol` in the
+    * total order given by `sortExprs` (tie-free — include a unique key):
+    * for each row, the sum of `valueCol` over all strictly-preceding
+    * rows, 0 for the first. This is the distributed generalization of
+    * `sum(v) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING TO 1 PRECEDING)`,
+    * which Spark otherwise executes as a single-partition window — the
+    * token-budget sharding shape every pretraining run needs at scale.
+    *
+    * Same two-pass plan as the rank: range-partition on the sort keys,
+    * per-partition SUM (one tiny row per partition) → prefix-sum
+    * offsets over ≤N_partitions rows → broadcast back → local
+    * partitioned cumsum + offset. Bit-identical to the global window
+    * for exact types (use longs/decimals; float addition is
+    * order-sensitive either way).
+    */
+  def withExclusivePrefixSum(df: DataFrame, sumCol: String, valueCol: Column,
+      sortExprs: Seq[Column], partitions: Int = 32): DataFrame = {
+    val ranged = pinIfNondeterministic(df).repartitionByRange(partitions, sortExprs: _*)
+      .withColumn("_gsum_pid", spark_partition_id())
+      .withColumn("_gsum_v", valueCol)
+    val perPart = ranged.groupBy("_gsum_pid")
+      .agg(sum(col("_gsum_v")).as("_gsum_psum"))
+    val offsets = perPart
+      .withColumn("_gsum_off",
+        coalesce(
+          sum(col("_gsum_psum")).over(
+            Window.orderBy("_gsum_pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("_gsum_pid", "_gsum_off")
+    val wLocal = Window.partitionBy("_gsum_pid").orderBy(sortExprs: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .join(broadcast(offsets), "_gsum_pid")
+      .withColumn(sumCol,
+        (col("_gsum_off") + coalesce(sum(col("_gsum_v")).over(wLocal), lit(0L)))
+          .cast("long"))
+      .drop("_gsum_pid", "_gsum_v", "_gsum_off")
+  }
+
   private def ranked(df: DataFrame, rnCol: String, totalCol: Option[String],
       sortExprs: Seq[Column], partitions: Int): DataFrame = {
-    val ranged = df.repartitionByRange(partitions, sortExprs: _*)
+    val ranged = pinIfNondeterministic(df).repartitionByRange(partitions, sortExprs: _*)
       .withColumn("_grank_pid", spark_partition_id())
     val counts = ranged.groupBy("_grank_pid").agg(count(lit(1)).as("_grank_cnt"))
     val wAll = Window.orderBy("_grank_pid")

@@ -115,18 +115,21 @@ object Extras13 {
   /** pipeline_token_shards — token-budget sharding (sequence-packing's
     * scalable contiguous form): documents in deterministic doc_id
     * order are assigned to shards by ⌊running-token-count / 4096⌋ —
-    * one window cumsum, integer arithmetic, and every engine/worker
-    * agrees on the layout. (True no-straddle greedy packing is a
-    * running reset — inherently sequential; the contiguous form is
-    * what distributed writers actually use, with the straddle handled
-    * by the consumer.) Output is the per-shard manifest.
+    * integer arithmetic, and every engine/worker agrees on the layout.
+    * (True no-straddle greedy packing is a running reset — inherently
+    * sequential; the contiguous form is what distributed writers
+    * actually use, with the straddle handled by the consumer.) The
+    * running count is [[graft.plans.GlobalRank.withExclusivePrefixSum]]
+    * — a two-pass range-partitioned prefix-scan, NOT a global
+    * `Window.orderBy` (which would funnel the whole corpus through one
+    * task); bit-identical on the long token counts. Output is the
+    * per-shard manifest.
     */
   def pipelineTokenShards(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    documents(s, d)
+    val base = documents(s, d)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
-      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+    graft.plans.GlobalRank
+      .withExclusivePrefixSum(base, "cum_before", col("n_tok"), Seq(col("doc_id").asc))
       .select(col("doc_id"), col("n_tok"),
         (col("cum_before") / 4096).cast("long").as("shard"))
       .groupBy("shard")

@@ -85,16 +85,23 @@ object Extras39 {
     * per-partition monotone but NOT stable across partitioning
     * layouts (its value encodes the partition index), so the graded
     * output asserts only its guaranteed properties — uniqueness and
-    * count — while the REPRODUCIBLE id (dense row_number over an
-    * explicit total order) carries the value-level oracle. The
+    * count — while the REPRODUCIBLE id — a dense global row number
+    * over an explicit total order, computed by
+    * [[graft.plans.GlobalRank.withGlobalRowNumber]]'s two-pass
+    * range-partitioned rank rather than a single-partition
+    * `Window.orderBy` — carries the value-level oracle. The
     * difference is exactly why a pipeline must never join on
     * mi_id across runs.
     */
   def idGenerationUnique(s: SparkSession, d: String): DataFrame = {
-    val withIds = orders(s, d)
-      .select(col("o_orderkey"), monotonically_increasing_id().as("mi_id"))
-      .withColumn("stable_id", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("o_orderkey")).cast("bigint"))
+    // rank the DETERMINISTIC key frame, then attach mi_id: feeding a
+    // nondeterministic column INTO a multi-pass algorithm would forfeit
+    // exchange reuse and with it the consistency of the two passes —
+    // itself part of the id-generation contract this row exhibits
+    val withIds = graft.plans.GlobalRank.withGlobalRowNumber(
+      orders(s, d).select(col("o_orderkey")),
+      "stable_id", Seq(col("o_orderkey").asc))
+      .withColumn("mi_id", monotonically_increasing_id())
     withIds.agg(
       count(lit(1)).as("n_rows"),
       countDistinct(col("mi_id")).as("n_distinct_mi"),

@@ -121,17 +121,28 @@ object Extras6 {
     * beside C80's blocking: ONE global sort by the comparison key
     * (p_name, tie-broken by key), then each record is compared only to
     * its immediate successors via lead() — O(n·w) comparisons instead
-    * of O(n²/blocks), no block-size skew, and the sort is Spark's
-    * range-partitioned exchange (scales linearly; near-dups cluster
-    * adjacently after sorting). Window width 2 here; per-brand census
-    * of close neighbors (edit distance ≤ 6).
+    * of O(n²/blocks), no block-size skew. The sort is realized as
+    * [[graft.plans.GlobalRank.withGlobalRowNumber]]'s two-pass
+    * range-partitioned rank (NOT a global `Window.orderBy`, which
+    * executes as a single-partition sort); each record's w=2 successors
+    * are then fetched by dense-row-number equi-joins — hash shuffles on
+    * a dense long key, balanced by construction, partition-boundary-
+    * safe (a successor is found by rank arithmetic, never by physical
+    * adjacency). Per-brand census of close neighbors (edit distance
+    * ≤ 6).
     */
   def dedupSortedNeighborhood(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(col("p_name").asc, col("p_partkey").asc)
-    part(s, d)
-      .select(col("p_partkey"), col("p_brand"), col("p_name"))
-      .withColumn("next1", lead(col("p_name"), 1).over(w))
-      .withColumn("next2", lead(col("p_name"), 2).over(w))
+    val keys = Seq(col("p_name").asc, col("p_partkey").asc)
+    val ranked = graft.plans.GlobalRank.withGlobalRowNumber(
+      part(s, d).select(col("p_partkey"), col("p_brand"), col("p_name")),
+      "_rn", keys)
+    val nbr = ranked.select(col("_rn").as("_nrn"), col("p_name").as("_nname"))
+    ranked
+      .join(nbr.select(col("_nrn"), col("_nname").as("next1")),
+        col("_nrn") === col("_rn") + 1, "left")
+      .drop("_nrn")
+      .join(nbr.select(col("_nrn"), col("_nname").as("next2")),
+        col("_nrn") === col("_rn") + 2, "left")
       .select(col("p_brand"),
         when(col("next1").isNotNull &&
           levenshtein(col("p_name"), col("next1")) <= 6, 1L).otherwise(0L).as("c1"),

@@ -97,6 +97,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("no corpus-sized unpartitioned window anywhere in the prefix-scan family") {
+    // r5 verdict's three residual single-partition windows: each now
+    // rides GlobalRank's two-pass prefix scan. The ONLY unpartitioned
+    // logical Window allowed is the <=32-row partition-offset frame,
+    // identified by its helper columns.
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val tinyCols = Set("_grank_cnt", "_grank_pid", "_gsum_psum", "_gsum_pid")
+    for (df <- Seq(graft.queries.Extras13.pipelineTokenShards(spark, sf),
+                   graft.queries.Extras6.dedupSortedNeighborhood(spark, sf),
+                   graft.queries.Extras39.idGenerationUnique(spark, sf))) {
+      val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(wins.nonEmpty, "expected the GlobalRank windows in the plan")
+      wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+        val refs = (w.windowExpressions ++ w.orderSpec).flatMap(_.collect {
+          case a: AttributeReference => a.name
+        }).toSet
+        assert(refs.subsetOf(tinyCols),
+          s"unpartitioned window over non-offset columns ${refs -- tinyCols}:\n$w")
+      }
+    }
+  }
+
   test("join_bucketed_colocated joins and aggregates without shuffling either side") {
     // with broadcast disabled, the bucketed join must be a SortMergeJoin
     // whose inputs read bucketed files directly — the only Exchange in
