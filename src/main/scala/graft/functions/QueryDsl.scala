@@ -202,7 +202,25 @@ object QueryDsl {
       case FieldValueQuery(f, v) =>
         if (numeric(f)) field(f) === numLit(f, v) else field(f) === lit(v)
       case FieldWildcardQuery(f, p) =>
-        field(f).like(likePattern(p, contains = false))
+        // Lucene wildcard semantics: wildcards match TERMS. A keyword
+        // field's whole value is one term → whole-field LIKE. A TEXT
+        // column is tokenized → token-level match, the same semantics
+        // as C291's graft_token_prefix — a pure prefix pattern compiles
+        // to that very expression so TextIndexSearchRule can rewrite
+        // the front door onto the inverted index (register via
+        // [[predicate]] / TextIndex.registerFunction).
+        if (textColumns.contains(f)) {
+          field(f) // still validates the field exists
+          val purePrefix = "^([^*?\\s']+)\\*$".r
+          p match {
+            case purePrefix(pre) =>
+              expr(s"${graft.plans.TextIndex.prefixName}($f, '$pre')")
+            case _ =>
+              exists(split(lower(field(f)), " "),
+                t => t.like(likePattern(p.toLowerCase(java.util.Locale.ROOT),
+                  contains = false)))
+          }
+        } else field(f).like(likePattern(p, contains = false))
       case FieldRangeQuery(f, lo, hi) =>
         if (numeric(f)) field(f).between(numLit(f, lo), numLit(f, hi))
         else field(f).between(lit(lo), lit(hi))
@@ -217,7 +235,13 @@ object QueryDsl {
     go(q)
   }
 
-  /** One-call convenience: parse + compile against a DataFrame. */
-  def predicate(df: DataFrame, dsl: String, textColumns: Seq[String]): Column =
+  /** One-call convenience: parse + compile against a DataFrame. Also
+    * registers the text-index expressions on the frame's session so a
+    * text-column prefix wildcard (compiled to `graft_token_prefix`)
+    * resolves whether or not an index is enabled.
+    */
+  def predicate(df: DataFrame, dsl: String, textColumns: Seq[String]): Column = {
+    graft.plans.TextIndex.registerFunction(df.sparkSession)
     compile(parse(dsl), df.schema, textColumns)
+  }
 }

@@ -49,6 +49,14 @@ object TextIndex {
   val idColConf = "spark.graft.textIndex.idCol"
   val textColConf = "spark.graft.textIndex.textCol"
 
+  /** Lowercase via UTF8String — the same mapping `lower()`, eval and
+    * codegen use — never default-locale `String.toLowerCase` (which
+    * e.g. under tr_TR maps 'I' to dotless ı and would desynchronize
+    * the rewritten plan from the standalone predicate).
+    */
+  def lowerUtf8(s: String): String =
+    UTF8String.fromString(s).toLowerCase.toString
+
   /** Build the inverted index: one (token, id) row per distinct token
     * per document. At 100 TB: `.bucketBy(N, "token")` into a table so
     * the semi-join is co-located; plain Parquet suffices here and
@@ -196,7 +204,7 @@ case class TextIndexSearchRule(spark: SparkSession)
     val path = spark.conf.getOption(TextIndex.pathConf).getOrElse(return None)
     val idCol = spark.conf.get(TextIndex.idColConf, "doc_id")
     val df = spark.read.parquet(path)
-      .filter(col("token").contains(term.toLowerCase))
+      .filter(col("token").contains(TextIndex.lowerUtf8(term)))
       .select(col(idCol))
     val plan = df.queryExecution.analyzed
     Some((plan, plan.output.head))
@@ -214,7 +222,11 @@ case class TextIndexSearchRule(spark: SparkSession)
   private def prefixIndexPlanFor(prefix: String): Option[(LogicalPlan, Attribute)] = {
     val path = spark.conf.getOption(TextIndex.pathConf).getOrElse(return None)
     val idCol = spark.conf.get(TextIndex.idColConf, "doc_id")
-    val p = prefix.toLowerCase
+    // UTF8String lowercasing, NOT String.toLowerCase: the latter is
+    // default-locale-sensitive (tr_TR dotless-i) while eval/codegen and
+    // the index build all lower via UTF8String — mixing them could make
+    // the rewritten plan return different rows than the predicate
+    val p = TextIndex.lowerUtf8(prefix)
     val ranged =
       if (p.last < Char.MaxValue) {
         val upper = p.init + (p.last + 1).toChar
@@ -229,6 +241,14 @@ case class TextIndexSearchRule(spark: SparkSession)
     if (spark.conf.getOption(TextIndex.pathConf).isEmpty) return plan
     val idCol = spark.conf.get(TextIndex.idColConf, "doc_id")
     val textCol = spark.conf.get(TextIndex.textColConf, "text")
+    // conditions whose Filters must stay opted-out of future passes:
+    // residuals THIS pass emits, plus filters a PREVIOUS pass tagged
+    // (pruning below rebuilds nodes and drops their tags)
+    val optedOut = scala.collection.mutable.ArrayBuffer.empty[Expression]
+    plan.foreach {
+      case f: Filter if f.getTagValue(rewrittenTag).isDefined => optedOut += f.condition
+      case _ => ()
+    }
     val rewritten = plan.transform {
       case f @ Filter(cond, child)
           if f.getTagValue(rewrittenTag).isEmpty &&
@@ -249,7 +269,7 @@ case class TextIndexSearchRule(spark: SparkSession)
           val residual = scala.collection.mutable.ArrayBuffer.empty[Expression]
           rewritable.foreach {
             case g @ GraftTextSearch(_, Literal(term, _)) =>
-              val parts = term.toString.toLowerCase.split(' ').filter(_.nonEmpty)
+              val parts = TextIndex.lowerUtf8(term.toString).split(' ').filter(_.nonEmpty)
               var joined = false
               parts.foreach { p =>
                 indexPlanFor(p) match {
@@ -275,7 +295,7 @@ case class TextIndexSearchRule(spark: SparkSession)
             case g => residual += g
           }
           val out = (rest ++ residual).reduceOption(And)
-            .map(Filter(_, newChild)).getOrElse(newChild)
+            .map { c => optedOut += c; Filter(c, newChild) }.getOrElse(newChild)
           out.setTagValue(rewrittenTag, true)
           out
         }
@@ -287,14 +307,17 @@ case class TextIndexSearchRule(spark: SparkSession)
     // filter) shows up in the physical scan. Pruning REBUILDS nodes and
     // drops TreeNodeTags, which would un-tag a phrase's residual Filter
     // and make the next fixed-point iteration rewrite it AGAIN (observed:
-    // doubled semi-joins, 0.7 s → 17 s at sf0.1) — so every surviving
-    // Filter is re-tagged: all rewritable conjuncts were processed in
-    // THIS pass, nothing legitimate remains for a second one.
+    // doubled semi-joins, 0.7 s → 17 s at sf0.1) — so the Filters THIS
+    // rule produced (and any tagged by a previous pass) are re-tagged by
+    // matching their condition. Only those: blanket-tagging every Filter
+    // would permanently opt out predicates that a LATER extraOptimizations
+    // rule might yet make rewritable.
     if (rewritten.fastEquals(plan)) plan
     else {
       val pruned = org.apache.spark.sql.catalyst.optimizer.ColumnPruning(rewritten)
       pruned.foreach {
-        case f: Filter => f.setTagValue(rewrittenTag, true)
+        case f: Filter if optedOut.exists(_.semanticEquals(f.condition)) =>
+          f.setTagValue(rewrittenTag, true)
         case _ => ()
       }
       pruned

@@ -32,7 +32,10 @@ object Extras53 {
     val rowT = obs.groupBy("lang").agg(sum("o").as("rt"))
     val colT = obs.groupBy("bucket").agg(sum("o").as("ct"))
     val tot = obs.agg(sum("o").as("n"))
-    val e = (col("rt") * col("ct")).cast("double") / col("n")
+    // cast EACH total to double before the product: rt*ct in int64
+    // wraps silently past ~3e9-row corpora (N² scale), while the
+    // double product is exact to 2^53 and matches DuckDB bit-for-bit
+    val e = col("rt").cast("double") * col("ct").cast("double") / col("n")
     obs.join(broadcast(rowT), "lang")
       .join(broadcast(colT), "bucket")
       .crossJoin(broadcast(tot))
@@ -52,9 +55,9 @@ object Extras53 {
       |ct AS (SELECT bucket, sum(o) AS ct FROM obs GROUP BY bucket),
       |n AS (SELECT sum(o) AS n FROM obs)
       |SELECT lang, bucket, o,
-      |  round(CAST(rt * ct AS DOUBLE) / n, 6) AS expected,
-      |  round(pow(o - CAST(rt * ct AS DOUBLE) / n, 2)
-      |        / (CAST(rt * ct AS DOUBLE) / n), 6) AS contrib
+      |  round(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / n, 6) AS expected,
+      |  round(pow(o - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / n, 2)
+      |        / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / n), 6) AS contrib
       |FROM obs JOIN rt USING (lang) JOIN ct USING (bucket) CROSS JOIN n
       |ORDER BY lang, bucket""".stripMargin
 

@@ -123,7 +123,7 @@ class SketchSpec extends SparkSpec {
     // docstring); the ⌈10·√(n/500)⌉ rule probes 20 cells and must not
     // fall below the spec floor — and stays exact (verify-on-candidates
     // means no false positives ever)
-    val big = "/root/testdata/sf0.1"
+    val big = sf01.getOrElse(cancel("sf0.1 fixture not present on this machine"))
     val exact = DedupExtras.dedupEmbedCosineAllPairs(spark, big).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val via = DedupExtras.dedupEmbedCosine(spark, big).collect()

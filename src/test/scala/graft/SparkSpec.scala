@@ -19,10 +19,16 @@ object TestSpark {
     s.sparkContext.setLogLevel("WARN")
     s
   }
-  val sf: String = "/root/testdata/sf0.001"
+  val baseDir: String = sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata")
+  val sf: String = s"$baseDir/sf0.001"
+  /** Larger fixture for recall-at-scale tests; None when absent, so
+    * those tests cancel instead of failing on machines without it. */
+  val sf01: Option[String] =
+    Some(s"$baseDir/sf0.1").filter(p => new java.io.File(p).isDirectory)
 }
 
 abstract class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = TestSpark.spark
   val sf: String = TestSpark.sf
+  def sf01: Option[String] = TestSpark.sf01
 }
