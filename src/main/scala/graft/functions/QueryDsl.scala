@@ -198,7 +198,15 @@ object QueryDsl {
       }
     def go(q: Query): Column = q match {
       case PhraseQuery(p) =>
-        textColumns.map(c => lower(col(c)).contains(p.toLowerCase)).reduce(_ || _)
+        // compile to graft_text_search (identical case-insensitive
+        // contains semantics, native codegen'd expression) rather than
+        // lower(col).contains: when the session has an inverted index
+        // enabled, TextIndexSearchRule rewrites the conjunct into an
+        // index semi-join — the DSL front door's hottest predicate then
+        // never scans the text bytes. Registered via [[predicate]].
+        textColumns.map(c =>
+          expr(s"${graft.plans.TextIndex.name}($c, '${p.replace("'", "\\'")}')"))
+          .reduce(_ || _)
       case FieldValueQuery(f, v) =>
         if (numeric(f)) field(f) === numLit(f, v) else field(f) === lit(v)
       case FieldWildcardQuery(f, p) =>

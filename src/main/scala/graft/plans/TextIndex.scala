@@ -241,12 +241,22 @@ case class TextIndexSearchRule(spark: SparkSession)
     if (spark.conf.getOption(TextIndex.pathConf).isEmpty) return plan
     val idCol = spark.conf.get(TextIndex.idColConf, "doc_id")
     val textCol = spark.conf.get(TextIndex.textColConf, "text")
-    // conditions whose Filters must stay opted-out of future passes:
-    // residuals THIS pass emits, plus filters a PREVIOUS pass tagged
-    // (pruning below rebuilds nodes and drops their tags)
+    // graft conjuncts already handled (this pass's residual phrase
+    // verifies, plus any from previously tagged Filters): a Filter
+    // containing one must stay opted-out of future passes, wherever
+    // predicate pushdown moves it. Tracked at CONJUNCT granularity
+    // because the re-optimization below splits and relocates filter
+    // conditions.
     val optedOut = scala.collection.mutable.ArrayBuffer.empty[Expression]
+    def graftConjuncts(cond: Expression): Seq[Expression] =
+      splitConjunctivePredicates(cond).filter {
+        case GraftTextSearch(a: Attribute, _) => a.name == textCol
+        case GraftTokenPrefix(a: Attribute, _) => a.name == textCol
+        case _ => false
+      }
     plan.foreach {
-      case f: Filter if f.getTagValue(rewrittenTag).isDefined => optedOut += f.condition
+      case f: Filter if f.getTagValue(rewrittenTag).isDefined =>
+        optedOut ++= graftConjuncts(f.condition)
       case _ => ()
     }
     val rewritten = plan.transform {
@@ -294,33 +304,38 @@ case class TextIndexSearchRule(spark: SparkSession)
               }
             case g => residual += g
           }
+          optedOut ++= residual.flatMap(graftConjuncts)
           val out = (rest ++ residual).reduceOption(And)
-            .map { c => optedOut += c; Filter(c, newChild) }.getOrElse(newChild)
+            .map(Filter(_, newChild)).getOrElse(newChild)
           out.setTagValue(rewrittenTag, true)
           out
         }
     }
-    // This rule runs AFTER the main optimizer's pruning batch, so a
-    // predicate we dropped leaves its column (e.g. `text`) in the scan's
-    // read schema unless pruning runs again — re-prune so the whole
-    // point of the index (never materializing the text bytes for the
-    // filter) shows up in the physical scan. Pruning REBUILDS nodes and
-    // drops TreeNodeTags, which would un-tag a phrase's residual Filter
-    // and make the next fixed-point iteration rewrite it AGAIN (observed:
-    // doubled semi-joins, 0.7 s → 17 s at sf0.1) — so the Filters THIS
-    // rule produced (and any tagged by a previous pass) are re-tagged by
-    // matching their condition. Only those: blanket-tagging every Filter
-    // would permanently opt out predicates that a LATER extraOptimizations
+    // This rule runs AFTER the main optimizer's pushdown and pruning
+    // batches, so the rewrite's restructuring needs BOTH re-run: the
+    // `rest` conjuncts now sit ABOVE the new semi-join (re-push them so
+    // e.g. an n_chars range still reaches the parquet scan), and a
+    // predicate we dropped leaves its column (e.g. `text`) in the
+    // scan's read schema unless pruning runs again. Re-optimization
+    // REBUILDS nodes and drops TreeNodeTags, which would un-tag a
+    // phrase's residual Filter and make the next fixed-point iteration
+    // rewrite it AGAIN (observed: doubled semi-joins, 0.7 s → 17 s at
+    // sf0.1) — so any Filter that still carries one of the graft
+    // conjuncts this rule already handled is re-tagged, wherever
+    // pushdown moved it. Only those: blanket-tagging every Filter would
+    // permanently opt out predicates that a LATER extraOptimizations
     // rule might yet make rewritable.
     if (rewritten.fastEquals(plan)) plan
     else {
-      val pruned = org.apache.spark.sql.catalyst.optimizer.ColumnPruning(rewritten)
-      pruned.foreach {
-        case f: Filter if optedOut.exists(_.semanticEquals(f.condition)) =>
+      import org.apache.spark.sql.catalyst.optimizer.{ColumnPruning, PushDownPredicates}
+      val improved = ColumnPruning(PushDownPredicates(rewritten))
+      improved.foreach {
+        case f: Filter if splitConjunctivePredicates(f.condition)
+              .exists(c => optedOut.exists(_.semanticEquals(c))) =>
           f.setTagValue(rewrittenTag, true)
         case _ => ()
       }
-      pruned
+      improved
     }
   }
 }

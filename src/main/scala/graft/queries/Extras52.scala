@@ -33,7 +33,11 @@ object Extras52 {
       when(col("doc_id") % 4 === 0, "PUBLISHED")
         .when(col("doc_id") % 4 === 1, "VALIDATED")
         .when(col("doc_id") % 4 === 2, "SUBMITTED")
-        .otherwise("CANCELED").as("status"))
+        .otherwise("CANCELED").as("status"),
+      concat(lit("prod_"), (col("doc_id") % 5).cast("string")).as("pname"),
+      when(col("doc_id") % 3 === 0, "MULTISPECTRAL")
+        .when(col("doc_id") % 3 === 1, "HYPERSPECTRAL")
+        .otherwise("BOTH").as("wlmode"))
 
   /** The pgroup attribute table (A11) — a config file, broadcast-sized
     * at any corpus scale. Same group as C32's "joins" product group.
@@ -51,18 +55,31 @@ object Extras52 {
     *
     * Plan shape: the DSL predicate (B50) and the synthesized-column
     * filters are all scan-side conjuncts — the raw `n_chars` range
-    * from the DSL reaches the parquet scan as a pushed filter; pgroup
-    * membership is ONE LeftSemi join against the exploded-token ×
-    * broadcast-attrs id-set (C32's shape); pagination is the
-    * range-partitioned global rank + broadcast total (C21's shape) —
-    * no single-partition window anywhere. PlanSpec asserts the pushed
-    * filter and the single semi-join.
+    * from the DSL reaches the parquet scan as a pushed filter; the
+    * DSL's free-text term rides the INVERTED INDEX (the session
+    * enables it, so TextIndexSearchRule rewrites the term to an index
+    * semi-join and the filter branch never scans the text bytes);
+    * pgroup membership is ONE LeftSemi join against the
+    * exploded-token × broadcast-attrs id-set (C32's shape);
+    * pagination is the range-partitioned global rank + broadcast
+    * total (C21's shape) — no single-partition window anywhere.
+    * PlanSpec asserts the pushed filter and the semi-joins.
+    *
+    * Remaining DatasetQuery params threaded (r5 verdict Missing #4):
+    * `pname` (product-name membership, distinct from pgroup),
+    * `wlmode` (wavelength-mode enum: MULTISPECTRAL requests admit
+    * MULTISPECTRAL and BOTH), `shallow=no` (exclude shallow-water
+    * datasets, wdepth < 30), and `pmode=contains` (the time predicate
+    * runs in CONTAINMENT mode — the acquisition interval must lie
+    * inside the request window — vs the default overlap mode).
     */
   def refDatasetQueryFull(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    RefSurface.enableTextIndex(s, d)
     val meta = datasetMeta(s, d)
     // the request: expr DSL, region, time window, wdepth, pgroup,
-    // status filter, page [10, 30) + total_count
+    // status, pname list, wlmode=MULTISPECTRAL, shallow=no,
+    // pmode=contains, page [10, 30) + total_count
     val dslPred = graft.functions.QueryDsl.predicate(
       meta, "merge AND n_chars:[100 TO 450]", Seq("text"))
     val attrs = pgroupAttrs.toDF("attr")
@@ -73,10 +90,14 @@ object Extras52 {
     val filtered = meta
       .filter(dslPred)
       .filter(graft.functions.GeoOps.inBbox(col("lon"), col("lat"), -90.0, -60.0, 90.0, 75.0))
-      .filter(col("t0") <= lit(java.sql.Date.valueOf("2024-10-31")) &&
-              col("t1") >= lit(java.sql.Date.valueOf("2024-02-01")))
+      // pmode=contains: [t0, t1] ⊆ [2024-02-01, 2024-10-31]
+      .filter(col("t0") >= lit(java.sql.Date.valueOf("2024-02-01")) &&
+              col("t1") <= lit(java.sql.Date.valueOf("2024-10-31")))
       .filter(col("wdepth").between(10.0, 180.0))
       .filter(col("status").isin("PUBLISHED", "VALIDATED", "SUBMITTED"))
+      .filter(col("pname").isin("prod_0", "prod_1", "prod_2", "prod_3"))
+      .filter(col("wlmode").isin("MULTISPECTRAL", "BOTH"))
+      .filter(col("wdepth") >= 30.0) // shallow=no
       .join(members, Seq("doc_id"), "left_semi")
       .select("doc_id", "lang", "n_chars", "status", "wdepth")
     // total_count rides the rank pass's own per-partition counts —
@@ -98,15 +119,21 @@ object Extras52 {
        |    DATE '2024-01-01' + CAST(doc_id % 365 AS INT) + CAST(doc_id % 30 + 1 AS INT) AS t1,
        |    CAST(n_chars % 200 AS DOUBLE) AS wdepth,
        |    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'PUBLISHED' WHEN 1 THEN 'VALIDATED'
-       |         WHEN 2 THEN 'SUBMITTED' ELSE 'CANCELED' END AS status
+       |         WHEN 2 THEN 'SUBMITTED' ELSE 'CANCELED' END AS status,
+       |    'prod_' || CAST(doc_id % 5 AS VARCHAR) AS pname,
+       |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'MULTISPECTRAL'
+       |         WHEN 1 THEN 'HYPERSPECTRAL' ELSE 'BOTH' END AS wlmode
        |  FROM documents),
        |f AS (
        |  SELECT doc_id, lang, n_chars, status, wdepth FROM meta
        |  WHERE lower(text) LIKE '%merge%' AND n_chars BETWEEN 100 AND 450
        |    AND lon BETWEEN -90.0 AND 90.0 AND lat BETWEEN -60.0 AND 75.0
-       |    AND t0 <= DATE '2024-10-31' AND t1 >= DATE '2024-02-01'
+       |    AND t0 >= DATE '2024-02-01' AND t1 <= DATE '2024-10-31'
        |    AND wdepth BETWEEN 10.0 AND 180.0
        |    AND status IN ('PUBLISHED', 'VALIDATED', 'SUBMITTED')
+       |    AND pname IN ('prod_0', 'prod_1', 'prod_2', 'prod_3')
+       |    AND wlmode IN ('MULTISPECTRAL', 'BOTH')
+       |    AND wdepth >= 30.0
        |    AND EXISTS (SELECT 1 FROM unnest(string_split(lower(text), ' ')) AS u(tok)
        |                WHERE tok IN ($attrs))),
        |p AS (

@@ -72,6 +72,9 @@ object Extras53 {
     * engine-specific, fixed-scale decimal printing is not).
     */
   def refDatasetQueryGeojson(s: SparkSession, d: String): DataFrame = {
+    // the DSL's 'merge' term rides the inverted index (same rewrite as
+    // C289) — this branch's parquet scan never reads the text column
+    RefSurface.enableTextIndex(s, d)
     val meta = Extras52.datasetMeta(s, d)
     meta
       .filter(graft.functions.QueryDsl.predicate(

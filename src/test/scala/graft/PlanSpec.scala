@@ -373,6 +373,25 @@ class PlanSpec extends SparkSpec {
       s"pgroup semi-join missing:\n$p")
     assert(!p.contains("SortMergeJoin LeftSemi"),
       s"pgroup semi-join should broadcast (config-file sized side):\n$p")
+    // the DSL's free-text term rides the inverted index: the FILTER
+    // branch's documents scan must not read the text column (only the
+    // pgroup tokenizer branch legitimately does)
+    assert(p.contains("graft_tidx_"), s"text-index scan missing from composite:\n$p")
+    val filterScans = p.linesIterator.filter(l =>
+      l.contains("ReadSchema") && l.contains("n_chars") && l.contains("lang")).toSeq
+    assert(filterScans.nonEmpty && filterScans.forall(!_.contains("text")),
+      s"composite filter branch still reads the text column:\n$p")
+  }
+
+  test("ref_dataset_query_geojson: DSL term indexed — no text column in any scan") {
+    val df = graft.queries.Extras53.refDatasetQueryGeojson(spark, sf)
+    val p = plan(df)
+    assert(p.contains("LeftSemi") && p.contains("graft_tidx_"),
+      s"index semi-join did not fire in the geojson composite:\n$p")
+    val docScans = p.linesIterator.filter(l =>
+      l.contains("ReadSchema") && l.contains("doc_id")).toSeq
+    assert(docScans.nonEmpty && docScans.forall(!_.contains("text")),
+      s"geojson composite reads text bytes despite the index rewrite:\n$p")
   }
 
   test("ref_text_wildcard_search: token-range semi-join fires, no text-scan residual") {
