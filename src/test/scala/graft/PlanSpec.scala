@@ -383,6 +383,27 @@ class PlanSpec extends SparkSpec {
       s"composite filter branch still reads the text column:\n$p")
   }
 
+  test("ref_dataset_query_polygon: bbox prefilter + exact ray-cast verify, text term indexed") {
+    val df = graft.queries.Extras54.refDatasetQueryPolygon(spark, sf)
+    val p = plan(df)
+    // exact verify present…
+    assert(p.contains("pointinpolygon") || p.contains("PointInPolygon"),
+      s"ray-cast verify missing from polygon composite:\n$p")
+    // …AND the cheap bbox reject rides the same filter (vertex min/max
+    // range on the coordinate expressions), so the O(|vertices|) test
+    // only runs on bbox survivors
+    assert(p.contains("-150.005") && p.contains("85.505"),
+      s"bbox prefilter (vertex min/max) missing:\n$p")
+    // DSL: n_chars range pushed to the scan, text term on the index
+    assert(p.contains("GreaterThanOrEqual(n_chars,100"),
+      s"DSL n_chars range not pushed:\n$p")
+    assert(p.contains("graft_tidx_"), s"text term did not ride the index:\n$p")
+    val docScans = p.linesIterator.filter(l =>
+      l.contains("ReadSchema") && l.contains("doc_id") && l.contains("lang")).toSeq
+    assert(docScans.nonEmpty && docScans.forall(!_.contains("text")),
+      s"polygon composite reads text bytes despite the index rewrite:\n$p")
+  }
+
   test("ref_dataset_query_geojson: DSL term indexed — no text column in any scan") {
     val df = graft.queries.Extras53.refDatasetQueryGeojson(spark, sf)
     val p = plan(df)
