@@ -259,27 +259,68 @@ class DatasetStore(spark: SparkSession, path: String, keyCol: String) {
   def compact(): Unit = commit(Seq(writeSegment(read())))
 
   // ----- branches (Iceberg-style named refs over the shared version log)
+  //
+  // A branch pointer is a CAS-VERSIONED CHAIN of immutable files
+  // `BRANCH.<name>.g<K>` (content: the snapshot version the branch
+  // points at), each created with the same `link(2)` CAS as the
+  // manifest log — atomic, exclusive, complete-on-arrival. The live
+  // pointer is the highest generation K. Advancing the pointer is
+  // therefore itself a CAS (claim generation K+1; EEXIST means another
+  // writer advanced first — re-read and retry), which makes branch
+  // writes safe across PROCESSES, not just threads: no REPLACE_EXISTING
+  // move ever touches a pointer, so two writers can never both "win"
+  // one generation. Generations are never deleted (tiny files), so the
+  // chain is monotone and ABA-free.
 
-  private def branchFile(name: String) = new File(root, s"BRANCH.$name")
+  private def branchGenPrefix(name: String) = s"BRANCH.$name.g"
+
+  private def latestBranchGen(name: String): Option[Long] = {
+    val pre = branchGenPrefix(name)
+    Option(root.list()).getOrElse(Array.empty)
+      .collect { case s if s.startsWith(pre) => s.substring(pre.length) }
+      .filter(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong)
+      .maxOption
+  }
+
+  private def branchGenFile(name: String, gen: Long) =
+    new File(root, s"${branchGenPrefix(name)}$gen")
+
+  /** Claim pointer generation `gen` for `name` with content `v` via
+    * link(2); false if another writer claimed it first.
+    */
+  private def casBranchPointer(name: String, gen: Long, v: Long): Boolean = {
+    val tmp = new File(root, s"BRANCH.$name.tmp.${seq.incrementAndGet()}.${Thread.currentThread().getId}")
+    Files.write(tmp.toPath, v.toString.getBytes(UTF_8))
+    try {
+      Files.createLink(branchGenFile(name, gen).toPath, tmp.toPath)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp.toPath)
+  }
 
   /** Create/reset branch `name` pointing at snapshot `fromVersion`.
     * A branch is a named pointer into the SAME immutable version log
     * CURRENT reads from — zero data copied (Iceberg/Delta branch
     * semantics; possible only because segments and manifests are
-    * immutable).
+    * immutable). A reset may deliberately move the branch backward;
+    * it still claims the next pointer generation, so it serializes
+    * with concurrent appenders instead of clobbering them.
     */
   def createBranch(name: String, fromVersion: Long): Unit = {
     require(manifestFile(fromVersion).exists,
       s"store at $path has no snapshot v$fromVersion")
-    val tmp = new File(root, s"BRANCH.$name.tmp.${seq.incrementAndGet()}")
-    Files.write(tmp.toPath, fromVersion.toString.getBytes(UTF_8))
-    Files.move(tmp.toPath, branchFile(name).toPath,
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    var done = false
+    while (!done) {
+      val gen = latestBranchGen(name).getOrElse(0L)
+      done = casBranchPointer(name, gen + 1, fromVersion)
+    }
   }
 
   def branchVersion(name: String): Long = {
-    require(branchFile(name).exists, s"store at $path has no branch $name")
-    new String(Files.readAllBytes(branchFile(name).toPath), UTF_8).trim.toLong
+    val gen = latestBranchGen(name)
+      .getOrElse(sys.error(s"store at $path has no branch $name"))
+    new String(Files.readAllBytes(branchGenFile(name, gen).toPath), UTF_8).trim.toLong
   }
 
   def readBranch(name: String): DataFrame = readAt(branchVersion(name))
@@ -293,38 +334,42 @@ class DatasetStore(spark: SparkSession, path: String, keyCol: String) {
     val seg = writeSegment(df)
     var attempt = 0
     var committed = false
-    // The read-pointer → CAS-link → set-pointer sequence is serialized
-    // per path. Without it, a racing branch writer that loses the
-    // version-log CAS retries against the STALE branch pointer (the
-    // winner advances the pointer only after its createLink), commits a
-    // manifest missing the winner's segment, and the delayed winner's
-    // pointer write then regresses the branch past the newer commit — a
-    // lost update. The version-log CAS alone guarantees unique version
-    // NUMBERS, not branch lineage, so the pointer advance must be
-    // atomic with the read that seeded the manifest. Cross-JVM branch
-    // writers need the same serialization around the pointer (a lock
-    // service or CAS-versioned pointer files); like CURRENT advancement
-    // in [[appendAtomic]], the branch pointer's contract is JVM-local.
-    DatasetStore.pathLock(path).synchronized {
-      while (!committed) {
-        val v = versions().lastOption.getOrElse(0L)
-        val segs = readManifest(branchVersion(name)) :+ seg
-        val tmp = new File(root, s"MANIFEST.tmp.${seq.incrementAndGet()}.${Thread.currentThread().getId}")
-        Files.write(tmp.toPath, segs.mkString("\n").getBytes(UTF_8))
+    // Two-level CAS, no lock — correct across threads AND processes:
+    //  1. read the pointer (generation K → branch version bv);
+    //  2. CAS the new manifest into the shared version log (unique
+    //     version number; loser re-reads and retries);
+    //  3. CAS the pointer to generation K+1 referencing the committed
+    //     version. EEXIST here means another branch writer advanced the
+    //     pointer between 1 and 3 — our manifest was built from a STALE
+    //     lineage and must not become the branch head; it stays in the
+    //     log as an orphaned (but fully valid, segment-retaining)
+    //     snapshot and the loop rebuilds from the new pointer. The
+    //     pointer CAS at K+1 is what the old lock used to guarantee:
+    //     the advance is atomic with the read that seeded the manifest,
+    //     so a lost update is structurally impossible.
+    // Monotonicity needs no explicit guard: a winning append's version
+    // v+1 exceeds every version in the log, including the bv it read.
+    while (!committed) {
+      val gen = latestBranchGen(name)
+        .getOrElse(sys.error(s"store at $path has no branch $name"))
+      val bv = new String(
+        Files.readAllBytes(branchGenFile(name, gen).toPath), UTF_8).trim.toLong
+      val v = versions().lastOption.getOrElse(0L)
+      val segs = readManifest(bv) :+ seg
+      val tmp = new File(root, s"MANIFEST.tmp.${seq.incrementAndGet()}.${Thread.currentThread().getId}")
+      Files.write(tmp.toPath, segs.mkString("\n").getBytes(UTF_8))
+      val manifestLanded =
         try {
           Files.createLink(manifestFile(v + 1).toPath, tmp.toPath)
-          // advance only forward: a reset (createBranch) may move a
-          // branch backward deliberately, an append never may
-          if (v + 1 > branchVersion(name)) createBranch(name, v + 1)
-          committed = true
+          true
         } catch {
-          case _: java.nio.file.FileAlreadyExistsException =>
-            // an appendAtomic writer (outside this lock) took v+1:
-            // rebase on the new version log and retry
-            attempt += 1
-            require(attempt <= maxRetries,
-              s"store at $path: branch CAS lost $maxRetries version races")
+          case _: java.nio.file.FileAlreadyExistsException => false
         } finally Files.deleteIfExists(tmp.toPath)
+      if (manifestLanded && casBranchPointer(name, gen + 1, v + 1)) committed = true
+      else {
+        attempt += 1
+        require(attempt <= maxRetries,
+          s"store at $path: branch CAS lost $maxRetries races")
       }
     }
   }

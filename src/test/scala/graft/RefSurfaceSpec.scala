@@ -145,6 +145,33 @@ class RefSurfaceSpec extends SparkSpec {
     (1L to 9L).foreach(v => assert(store.readAt(v).count() == v))
   }
 
+  test("DatasetStore appendBranch: 8 racing writers across TWO store instances, no lost update") {
+    // two instances share no in-process state — the only coordination
+    // is the on-disk link(2) CAS chain, so this exercises exactly what
+    // two separate JVMs would
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_storespec_").toString + "/brcas"
+    val s1 = new graft.sources.DatasetStore(spark, path, "id")
+    val s2 = new graft.sources.DatasetStore(spark, path, "id")
+    s1.init(Seq((0L, 0.0)).toDF("id", "v")) // v1
+    s1.createBranch("dev", 1L)
+    val writers = (1 to 8).map { i =>
+      val st = if (i % 2 == 0) s1 else s2
+      new Thread(() => st.appendBranch("dev", Seq((i.toLong, i * 10.0)).toDF("id", "v")))
+    }
+    writers.foreach(_.start())
+    writers.foreach(_.join())
+    // every racing branch append is on the branch head exactly once —
+    // a lost update would drop an id; a clobbered pointer would
+    // duplicate or regress
+    assert(s1.readBranch("dev").collect().map(_.getLong(0)).sorted.toSeq == (0L to 8L),
+      "branch head lost or duplicated an append")
+    // the second instance resolves the identical head from disk alone
+    assert(s2.branchVersion("dev") == s1.branchVersion("dev"))
+    // CURRENT is untouched by branch-only writes
+    assert(s1.read().collect().map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
   test("point-in-polygon truth table (codegen + interpreted agree)") {
     import spark.implicits._
     val square = Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0))
