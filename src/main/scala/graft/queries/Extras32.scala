@@ -152,22 +152,13 @@ object Extras32 {
     * prefix must intersect B under any shared total order, so the
     * boilerplate-shingle k² blowup stays defused on the probe side
     * while the result is provably exact. Reuses C5's codegen'd
-    * [[graft.functions.ShingleHash3]] shingles.
+    * [[graft.functions.ShingleHash3]] shingles AND the staged shingle
+    * aggregates (sizes/dfreq) — the shuffled passes over the exploded
+    * frame run once per corpus, not once per shingle consumer.
     */
   def dedupContainment(s: SparkSession, d: String): DataFrame = {
-    graft.functions.ShingleHash3.register(s)
-    val sh = documents(s, d)
-      .select(col("doc_id"),
-        explode(expr(s"${graft.functions.ShingleHash3.name}(text)")).as("shingle"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val prefix = sh
-      .join(dfreq, "shingle")
-      .join(sizes, "doc_id")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
-      .filter(col("rk") <= col("n_sh") - expr("(7 * n_sh + 9) div 10") + 1)
-      .select(col("doc_id"), col("shingle"))
+    val (sh, prefix) = DedupExtras.ngramShinglesAndPrefix(s, d, num = 7, den = 10)
+    val sizes = ShingleStage.sizes(s, d)
     val cand = prefix.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
       .filter(col("doc_a") =!= col("doc_b"))

@@ -362,6 +362,8 @@ private[graft] object NearDupComponents {
   def labels(s: SparkSession, d: String): DataFrame = {
     val path = cache.computeIfAbsent(d, dir => {
       val p = java.nio.file.Files.createTempDirectory("graft_cc_").toString + "/labels"
+      // staged C5 pairs (NgramPairStage): the mining itself runs once
+      // per corpus even though both this and the graded C5 row need it
       val pairs = DedupExtras.dedupNgramJaccard(s, dir).select("doc_a", "doc_b")
       minLabelComponents(pairs).write.parquet(p)
       p
