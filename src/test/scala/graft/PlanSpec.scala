@@ -404,6 +404,29 @@ class PlanSpec extends SparkSpec {
       s"polygon composite reads text bytes despite the index rewrite:\n$p")
   }
 
+  test("source_custom_dsv2: filters and projection pushed into the connector, 8 splits") {
+    import org.apache.spark.sql.functions._
+    val base = spark.read.format(classOf[graft.sources.GraftSeqProvider].getName)
+      .option("rows", 100000L).option("parts", 8).load()
+    val filtered = base.filter(col("id") >= 1000L && col("id") < 50000L)
+      .select("tag", "val1")
+    val p = filtered.queryExecution.executedPlan.toString
+    // the scan description carries the narrowed range and pruned columns
+    assert(p.contains("lo=1000") && p.contains("hi=50000"),
+      s"id-range filters not narrowed inside the connector:\n$p")
+    assert(p.contains("cols=val1,tag") || p.contains("cols=tag,val1"),
+      s"projection not pushed into the connector:\n$p")
+    assert(!p.contains("cols=id,val1,tag"), s"connector still materializes id:\n$p")
+    // the narrowed range generates |match| rows across 8 parallel splits
+    assert(filtered.rdd.getNumPartitions == 8, "expected 8 input partitions")
+    assert(filtered.count() == 49000L)
+    // residual (non-id) predicates stay with Spark — never silently claimed
+    val resid = base.filter(col("id") >= 1000L && col("tag") === "a")
+    val rp = resid.queryExecution.executedPlan.toString
+    assert(rp.contains("lo=1000"), s"id bound not pushed beside residual:\n$rp")
+    assert(rp.contains("Filter"), s"residual tag filter vanished from the plan:\n$rp")
+  }
+
   test("ref_dataset_query_geojson: DSL term indexed — no text column in any scan") {
     val df = graft.queries.Extras53.refDatasetQueryGeojson(spark, sf)
     val p = plan(df)
