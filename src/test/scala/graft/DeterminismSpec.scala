@@ -34,6 +34,38 @@ class DeterminismSpec extends SparkSpec {
     }
   }
 
+  test("property: GlobalRank rank + prefix-sum match the single-partition window exactly") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // adversarial input: duplicate sort-key values (only the composite
+    // (k, id) order is total), skewed weights, many partitions vs rows
+    val gen = Gen.listOfN(500, Gen.zip(Gen.chooseNum(0L, 40L), Gen.chooseNum(0L, 1000L)))
+    val rows = gen.pureApply(Gen.Parameters.default, Seed(13L))
+      .zipWithIndex.map { case ((k, w), i) => (i.toLong, k, w) }
+    val df = rows.toDF("id", "k", "w")
+    val sortExprs = Seq(col("k").asc, col("id").asc)
+    val viaRank = graft.plans.GlobalRank
+      .withGlobalRowNumber(df, "rn", sortExprs, partitions = 7)
+      .select("id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaSum = graft.plans.GlobalRank
+      .withExclusivePrefixSum(df, "ps", col("w"), sortExprs, partitions = 7)
+      .select("id", "ps").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = Window.orderBy(sortExprs: _*)
+    val oracle = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("ps", coalesce(sum(col("w")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("id", "rn", "ps").collect()
+    oracle.foreach { r =>
+      val id = r.getLong(0)
+      assert(viaRank(id) == r.getLong(1), s"rank mismatch for id=$id")
+      assert(viaSum(id) == r.getLong(2), s"prefix-sum mismatch for id=$id")
+    }
+  }
+
   test("property: zorder2 interleave is a bijection on 10-bit pairs (codegen == reference)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
