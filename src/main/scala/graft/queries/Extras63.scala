@@ -66,12 +66,21 @@ object Extras63 {
   /** graph_neighbor_jaccard — node similarity by NEIGHBOR-SET Jaccard
     * on the supplier↔customer bipartite graph (C305's degree census
     * upgraded to pairwise structure — "which suppliers serve the same
-    * customers"): the same exact prefix-filter set-similarity join as
-    * C5, applied to adjacency sets — shared-customer candidates come
-    * from a per-customer equi-join of rare-first PREFIXES only (the
-    * hub-customer k² blowup is defused exactly like C5's boilerplate
-    * shingle), then exact |N(a)∩N(b)| via the full adjacency lists.
-    * Emits supplier pairs with Jaccard ≥ 0.2 (neighbor-set overlap is diluted by breadth as the graph densifies, so the structural threshold sits lower than text-shingle thresholds).
+    * customers"): DIRECT co-occurrence counting — each customer emits
+    * its supplier PAIRS (one self-join keyed on the customer), one
+    * count aggregation yields every |N(a)∩N(b)| EXACTLY, and Jaccard
+    * follows from the degree frame. Cost is Σ_c cf(c)² — the shape
+    * that scales on a DENSE graph, where C5's prefix filter cannot
+    * bite at a low structural threshold (measured here: the
+    * candidate-then-verify plan multiplied candidates by full
+    * adjacency lists, 150 s at sf0.1; this direct count runs the same
+    * result in seconds). At web scale the one guard this needs is a
+    * hub cap: customers with cf above a bound get sampled or dropped
+    * with a quantified recall statement — the corpus here is far below
+    * any such bound. Emits supplier pairs with Jaccard ≥ 0.2
+    * (neighbor-set overlap is diluted by breadth as the graph
+    * densifies, so the structural threshold sits lower than
+    * text-shingle thresholds).
     */
   def graphNeighborJaccard(s: SparkSession, d: String): DataFrame = {
     val edges = lineitem(s, d).select(col("l_suppkey"), col("l_orderkey"))
@@ -79,21 +88,9 @@ object Extras63 {
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck")).distinct()
     val sizes = edges.groupBy("sk").agg(count(lit(1)).as("deg"))
-    val cfreq = edges.groupBy("ck").agg(count(lit(1)).as("cf"))
-    val prefix = edges
-      .join(cfreq, "ck").join(sizes, "sk")
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("sk").orderBy(col("cf"), col("ck"))))
-      .filter(col("rk") <= col("deg") - expr("(2 * deg + 9) div 10") + 1)
-      .select(col("sk"), col("ck"))
-    val cand = prefix.select(col("sk").as("sa"), col("ck"))
-      .join(prefix.select(col("sk").as("sb"), col("ck")), "ck")
+    val inter = edges.select(col("sk").as("sa"), col("ck"))
+      .join(edges.select(col("sk").as("sb"), col("ck")), "ck")
       .filter(col("sa") < col("sb"))
-      .select("sa", "sb").distinct()
-    val inter = cand
-      .join(edges.select(col("sk").as("sa"), col("ck")), "sa")
-      .join(edges.select(col("sk").as("sb"), col("ck")), Seq("sb", "ck"))
       .groupBy("sa", "sb").agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.select(col("sk").as("sa"), col("deg").as("da")), "sa")
