@@ -161,6 +161,24 @@ class DatasetStore(spark: SparkSession, path: String, keyCol: String) {
     prune()
   }
 
+  /** VACUUM — expireSnapshots with an explicit orphan-retention
+    * window: drop all but the newest `keep` manifests and delete every
+    * segment no retained manifest references, keeping segments younger
+    * than `graceMs`. `graceMs = 0` reclaims immediately and is only
+    * safe under the class's single-writer contract (a concurrent
+    * writer's uncommitted segment would look orphaned); production
+    * callers keep the default grace.
+    */
+  def vacuum(keep: Int, graceMs: Long = 600000L): Unit = {
+    versions().dropRight(keep).foreach(v => manifestFile(v).delete())
+    prune(graceMs)
+  }
+
+  /** Segment directories physically present under the store root —
+    * referenced or orphaned; the quantity VACUUM shrinks. */
+  def segmentDirsOnDisk: Int =
+    Option(root.list()).getOrElse(Array.empty).count(_.startsWith("seg_"))
+
   /** Whether a committed snapshot exists (CURRENT manifest present). */
   def isInitialized: Boolean = currentFile.exists
 
