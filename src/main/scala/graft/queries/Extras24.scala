@@ -205,7 +205,7 @@ object Extras24 {
     * n_chars), odd positions additionally carry n_words. Fixture
     * staging only; the graded operator is the parse + pivot-back.
     */
-  private def stageHeteroSbDir(s: SparkSession, d: String): String = {
+  private[queries] def stageHeteroSbDir(s: SparkSession, d: String): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_hsb_")
     val docs = documents(s, d)
       .select(col("lang"), col("doc_id"), col("n_chars"),
