@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~480 distinct whole-stage-codegen queries in one bench JVM generate
+  // enough JIT'd classes to pressure the default 240 MB code cache; when
+  // it fills, C2 falls back to interpretation and EVERY query slows
+  // uniformly (r6's 1.47x late-run inflation). Headroom is cheap.
+  "-XX:ReservedCodeCacheSize=512m",
 )
