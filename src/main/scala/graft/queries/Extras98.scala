@@ -82,25 +82,35 @@ object Extras98 {
       |    AS p90_aov
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** embed_knn_label_precision — the retrieval-eval loop: for every
-    * label-0 query vector, the top-5 corpus neighbors by EXACT integer
-    * dot product (quantized components, dim-keyed join — the C343
-    * scheme), ranked with a (dot DESC, id) window whose partition is
-    * the QUERY (50-row partitions, no skew), and precision@5 = how
-    * many neighbors share the dominant corpus label. Pure counting
-    * after the rank; top-5 ties broken by id in both engines.
+  /** embed_knn_label_precision — the retrieval-eval loop: for a FIXED
+    * PROBE SET of query vectors, the top-5 corpus neighbors by EXACT
+    * integer dot product (quantized components), precision@5 = how
+    * many neighbors share the dominant corpus label.
+    *
+    * Probe-set contract (the scale fix over the r6 all-pairs shape): a
+    * retrieval eval does not score every query in the corpus — it
+    * scores a fixed, deterministic probe budget. Probes = label-0
+    * vectors with `vec_id < 600` (a CONSTANT, corpus-size-independent
+    * budget: ~200 probes at any sf ≥ 0.1; at tiny sf it degenerates to
+    * "all label-0", which is the same result as before). The probe
+    * component table is ≤ 600×64 rows → explicitly `broadcast()`, so
+    * the corpus side streams map-side with NO shuffle before the
+    * map-side-combined (qid, tid) partial aggregation: total work is
+    * O(P·n·d) with constant P — linear in corpus size, never n².
+    * Ranking window partitions by probe (≤600 partitions, no skew);
+    * top-5 ties broken by id in both engines.
     */
   def embedKnnLabelPrecision(s: SparkSession, d: String): DataFrame = {
     val comp = embeddings(s, d)
       .select(col("vec_id"), col("label"), posexplode(col("embedding")))
       .select(col("vec_id"), col("label"), (col("pos") + 1).as("dim"),
         floor(col("col").cast("double") * 1000000d + 0.5d).as("fx"))
-    val q = comp.filter(col("label") === 0)
+    val q = comp.filter(col("label") === 0 && col("vec_id") < 600)
       .select(col("vec_id").as("qid"), col("dim"), col("fx").as("fq"))
     val t = comp.filter(col("label") =!= 0)
       .select(col("vec_id").as("tid"), col("label"), col("dim"),
         col("fx").as("ft"))
-    val dots = q.join(t, "dim")
+    val dots = broadcast(q).join(t, "dim")
       .groupBy("qid", "tid", "label")
       .agg(sum(col("fq") * col("ft")).as("dot"))
     val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("tid"))
@@ -122,7 +132,7 @@ object Extras98 {
       |  SELECT q.vec_id AS qid, t.vec_id AS tid, t.label,
       |    sum(q.fx * t.fx) AS dot
       |  FROM comp q JOIN comp t ON q.dim = t.dim
-      |  WHERE q.label = 0 AND t.label <> 0
+      |  WHERE q.label = 0 AND q.vec_id < 600 AND t.label <> 0
       |  GROUP BY 1, 2, 3),
       |rk AS (
       |  SELECT qid, label, dot,

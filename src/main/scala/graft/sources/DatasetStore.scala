@@ -99,10 +99,12 @@ class DatasetStore(spark: SparkSession, path: String, keyCol: String) {
   }
 
   /** Commit: retain the snapshot as a numbered manifest (time travel),
-    * then atomically replace CURRENT; prune segments referenced by NO
-    * retained manifest (best-effort — a failed prune leaks space,
-    * never data). With full history retained nothing prunes until
-    * [[expireSnapshots]] drops old manifests.
+    * advance the main-head pointer chain (so concurrent/atomic writers
+    * know main's own lineage — see [[appendAtomic]]), then atomically
+    * replace CURRENT; prune segments referenced by NO retained manifest
+    * (best-effort — a failed prune leaks space, never data). With full
+    * history retained nothing prunes until [[expireSnapshots]] drops
+    * old manifests.
     */
   private def commit(segs: Seq[String]): Unit = {
     root.mkdirs()
@@ -112,6 +114,7 @@ class DatasetStore(spark: SparkSession, path: String, keyCol: String) {
     // MANIFEST.vN that readAt(v)/versions()/referenced() would treat as
     // a valid (partial) snapshot
     writeAtomic(manifestFile(v), segs)
+    advanceMainHead(v)
     writeAtomic(currentFile, segs)
     prune()
   }
@@ -152,25 +155,56 @@ class DatasetStore(spark: SparkSession, path: String, keyCol: String) {
       }
   }
 
-  /** Drop all but the newest `keep` snapshot manifests, then prune
-    * newly-unreferenced segments — the storage/time-travel trade-off
-    * knob (Delta's VACUUM / Iceberg's expire_snapshots).
+  /** Snapshot versions a live named ref points at — the main-head
+    * pointer plus every branch's LATEST pointer generation. Expiry must
+    * never delete these manifests: a branch (or main's own lineage
+    * base) pointing at an expired version would silently lose its
+    * snapshot — `readBranch`/`appendAtomic` would fail and prune would
+    * reclaim the segments behind a live ref. Iceberg's
+    * `expire_snapshots` protects ref-reachable snapshots the same way.
+    * Only the latest generation per ref protects: older generations are
+    * superseded pointer history, not live refs (and manifests are
+    * self-contained full segment lists, so no ancestor chain is
+    * needed).
+    */
+  private def refProtectedVersions(): Set[Long] = {
+    val branchVs = branchNames().map(branchVersion)
+    val mainV = latestGen(MainHeadPrefix).map(g => readPointer(MainHeadPrefix, g))
+    (branchVs ++ mainV).toSet
+  }
+
+  /** Branch names with at least one committed pointer generation. */
+  private def branchNames(): Seq[String] = {
+    val Gen = "BRANCH\\.(.+)\\.g(\\d+)".r
+    Option(root.list()).getOrElse(Array.empty)
+      .collect { case Gen(name, _) => name }.distinct.toSeq
+  }
+
+  /** Drop all but the newest `keep` snapshot manifests — EXCEPT any
+    * version a live ref (branch pointer or main head) still points at —
+    * then prune newly-unreferenced segments. The storage/time-travel
+    * trade-off knob (Delta's VACUUM / Iceberg's expire_snapshots).
     */
   def expireSnapshots(keep: Int): Unit = {
-    versions().dropRight(keep).foreach(v => manifestFile(v).delete())
+    val protectedVs = refProtectedVersions()
+    versions().dropRight(keep).filterNot(protectedVs)
+      .foreach(v => manifestFile(v).delete())
     prune()
   }
 
   /** VACUUM — expireSnapshots with an explicit orphan-retention
-    * window: drop all but the newest `keep` manifests and delete every
-    * segment no retained manifest references, keeping segments younger
-    * than `graceMs`. `graceMs = 0` reclaims immediately and is only
-    * safe under the class's single-writer contract (a concurrent
+    * window: drop all but the newest `keep` manifests (never a
+    * ref-protected one — see [[refProtectedVersions]]) and delete
+    * every segment no retained manifest references, keeping segments
+    * younger than `graceMs`. `graceMs = 0` reclaims immediately and is
+    * only safe under the class's single-writer contract (a concurrent
     * writer's uncommitted segment would look orphaned); production
     * callers keep the default grace.
     */
   def vacuum(keep: Int, graceMs: Long = 600000L): Unit = {
-    versions().dropRight(keep).foreach(v => manifestFile(v).delete())
+    val protectedVs = refProtectedVersions()
+    versions().dropRight(keep).filterNot(protectedVs)
+      .foreach(v => manifestFile(v).delete())
     prune(graceMs)
   }
 
