@@ -242,14 +242,27 @@ class DatasetStore(spark: SparkSession, path: String, keyCol: String) {
     * the JDK implements it as an existence check plus rename(2), which
     * silently replaces — two racers can both "win" and one commit is
     * lost (observed in the 8-writer race spec before this landed on
-    * createLink). Losers re-read the latest snapshot and retry against
-    * the next version; blind retry is CORRECT for appends because
-    * appends commute (upsert/delete recompute state and keep the
-    * documented single-writer contract). CURRENT then advances under a
-    * per-path JVM lock to the HIGHEST committed version — a stale
-    * winner never regresses the pointer (cross-JVM deployments would
-    * resolve CURRENT from max(MANIFEST.vN), which stays correct since
-    * every version file is complete-on-arrival).
+    * createLink). Losers re-read main's head and retry against the
+    * next version; blind retry is CORRECT for appends because appends
+    * commute (upsert/delete recompute state and keep the documented
+    * single-writer contract).
+    *
+    * LINEAGE: the new manifest is built from the MAIN-HEAD pointer's
+    * snapshot, NOT from `versions().last` — the version log is shared
+    * with branch writers ([[appendBranch]]), so the highest committed
+    * version may be a branch's head, and basing on it would graft the
+    * branch's rows into main. The same two-level CAS as appendBranch
+    * guards the read: (1) read the main-head pointer (generation K →
+    * version mv); (2) CAS the new manifest into the shared log;
+    * (3) CAS the pointer to generation K+1. EEXIST at step 3 means
+    * another main writer advanced between 1 and 3 — our manifest was
+    * built from a stale lineage and must not become the head; it stays
+    * in the log as an orphaned (but valid, segment-retaining) snapshot
+    * and the loop rebuilds. CURRENT then advances under a per-path JVM
+    * lock to the main-head version — monotone, so a stale winner never
+    * regresses the pointer (cross-JVM deployments resolve CURRENT from
+    * the head chain the same way; every pointer and manifest file is
+    * complete-on-arrival).
     */
   def appendAtomic(df: DataFrame, maxRetries: Int = 50): Unit = {
     root.mkdirs()
@@ -257,23 +270,31 @@ class DatasetStore(spark: SparkSession, path: String, keyCol: String) {
     var attempt = 0
     var committed = false
     while (!committed) {
+      val gen = latestGen(MainHeadPrefix).getOrElse(0L)
+      // gen == 0: store predates the pointer chain (or is empty) — fall
+      // back to the highest committed version as main's lineage
+      val mv = if (gen == 0) versions().lastOption.getOrElse(0L)
+               else readPointer(MainHeadPrefix, gen)
       val v = versions().lastOption.getOrElse(0L)
-      val segs = (if (v == 0) Nil else readManifest(v)) :+ seg
+      val segs = (if (mv == 0) Nil else readManifest(mv)) :+ seg
       val tmp = new File(root, s"MANIFEST.tmp.${seq.incrementAndGet()}.${Thread.currentThread().getId}")
       Files.write(tmp.toPath, segs.mkString("\n").getBytes(UTF_8))
-      try {
-        Files.createLink(manifestFile(v + 1).toPath, tmp.toPath)
-        committed = true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          attempt += 1
-          require(attempt <= maxRetries,
-            s"store at $path: CAS append lost $maxRetries version races")
-      } finally Files.deleteIfExists(tmp.toPath)
+      val manifestLanded =
+        try {
+          Files.createLink(manifestFile(v + 1).toPath, tmp.toPath)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        } finally Files.deleteIfExists(tmp.toPath)
+      if (manifestLanded && casPointer(MainHeadPrefix, gen + 1, v + 1)) committed = true
+      else {
+        attempt += 1
+        require(attempt <= maxRetries,
+          s"store at $path: CAS append lost $maxRetries version races")
+      }
     }
     DatasetStore.pathLock(path).synchronized {
-      val latest = readManifest(versions().last)
-      writeAtomic(currentFile, latest)
+      writeAtomic(currentFile, readManifest(mainHeadVersion()))
     }
     prune()
   }
@@ -310,46 +331,92 @@ class DatasetStore(spark: SparkSession, path: String, keyCol: String) {
     */
   def compact(): Unit = commit(Seq(writeSegment(read())))
 
-  // ----- branches (Iceberg-style named refs over the shared version log)
+  // ----- named refs: CAS-versioned pointer chains
   //
-  // A branch pointer is a CAS-VERSIONED CHAIN of immutable files
-  // `BRANCH.<name>.g<K>` (content: the snapshot version the branch
-  // points at), each created with the same `link(2)` CAS as the
+  // A ref pointer (main head or branch) is a CAS-VERSIONED CHAIN of
+  // immutable files `<prefix><K>` (content: the snapshot version the
+  // ref points at), each created with the same `link(2)` CAS as the
   // manifest log — atomic, exclusive, complete-on-arrival. The live
   // pointer is the highest generation K. Advancing the pointer is
   // therefore itself a CAS (claim generation K+1; EEXIST means another
-  // writer advanced first — re-read and retry), which makes branch
+  // writer advanced first — re-read and retry), which makes ref
   // writes safe across PROCESSES, not just threads: no REPLACE_EXISTING
   // move ever touches a pointer, so two writers can never both "win"
   // one generation. Generations are never deleted (tiny files), so the
-  // chain is monotone and ABA-free.
+  // chain is monotone and ABA-free. Main's own lineage uses the same
+  // machinery under the `MAINHEAD.g` prefix — Iceberg models `main` as
+  // just another ref for the same reason.
+
+  private val MainHeadPrefix = "MAINHEAD.g"
 
   private def branchGenPrefix(name: String) = s"BRANCH.$name.g"
 
-  private def latestBranchGen(name: String): Option[Long] = {
-    val pre = branchGenPrefix(name)
+  /** Highest committed pointer generation under `prefix`, if any. */
+  private def latestGen(prefix: String): Option[Long] =
     Option(root.list()).getOrElse(Array.empty)
-      .collect { case s if s.startsWith(pre) => s.substring(pre.length) }
+      .collect { case s if s.startsWith(prefix) => s.substring(prefix.length) }
       .filter(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong)
       .maxOption
-  }
 
-  private def branchGenFile(name: String, gen: Long) =
-    new File(root, s"${branchGenPrefix(name)}$gen")
+  private def genFile(prefix: String, gen: Long) =
+    new File(root, s"$prefix$gen")
 
-  /** Claim pointer generation `gen` for `name` with content `v` via
+  /** Snapshot version pointer generation `gen` of `prefix` points at. */
+  private def readPointer(prefix: String, gen: Long): Long =
+    new String(Files.readAllBytes(genFile(prefix, gen).toPath), UTF_8).trim.toLong
+
+  /** Claim pointer generation `gen` under `prefix` with content `v` via
     * link(2); false if another writer claimed it first.
     */
-  private def casBranchPointer(name: String, gen: Long, v: Long): Boolean = {
-    val tmp = new File(root, s"BRANCH.$name.tmp.${seq.incrementAndGet()}.${Thread.currentThread().getId}")
+  private def casPointer(prefix: String, gen: Long, v: Long): Boolean = {
+    val tmp = new File(root, s"$prefix.tmp.${seq.incrementAndGet()}.${Thread.currentThread().getId}")
     Files.write(tmp.toPath, v.toString.getBytes(UTF_8))
     try {
-      Files.createLink(branchGenFile(name, gen).toPath, tmp.toPath)
+      Files.createLink(genFile(prefix, gen).toPath, tmp.toPath)
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => false
     } finally Files.deleteIfExists(tmp.toPath)
   }
+
+  /** Set the main-head pointer to `v` unconditionally (claim the next
+    * generation, retrying past concurrent claimers). Used by the
+    * single-writer commit path and by [[fastForward]] (which may
+    * deliberately move the head to a branch's version); the concurrent
+    * [[appendAtomic]] path instead CASes a specific generation so a
+    * stale lineage read can never become the head.
+    */
+  private def advanceMainHead(v: Long): Unit = {
+    var done = false
+    while (!done) {
+      val gen = latestGen(MainHeadPrefix).getOrElse(0L)
+      done = casPointer(MainHeadPrefix, gen + 1, v)
+    }
+  }
+
+  /** Version main's lineage currently ends at: the main-head pointer if
+    * one exists, else the highest committed version (a store written
+    * before the pointer chain existed, or by an external tool).
+    */
+  private def mainHeadVersion(): Long =
+    latestGen(MainHeadPrefix).map(readPointer(MainHeadPrefix, _))
+      .orElse(versions().lastOption).getOrElse(0L)
+
+  /** Snapshot version main currently ends at (what [[read]] resolves
+    * through CURRENT). Public so callers can pin a release version for
+    * later [[readAt]] — e.g. incremental dedup against a prior corpus
+    * release.
+    */
+  def headVersion(): Long = mainHeadVersion()
+
+  private def latestBranchGen(name: String): Option[Long] =
+    latestGen(branchGenPrefix(name))
+
+  private def branchGenFile(name: String, gen: Long) =
+    genFile(branchGenPrefix(name), gen)
+
+  private def casBranchPointer(name: String, gen: Long, v: Long): Boolean =
+    casPointer(branchGenPrefix(name), gen, v)
 
   /** Create/reset branch `name` pointing at snapshot `fromVersion`.
     * A branch is a named pointer into the SAME immutable version log
@@ -426,10 +493,17 @@ class DatasetStore(spark: SparkSession, path: String, keyCol: String) {
     }
   }
 
-  /** Fast-forward CURRENT to the branch head (publish the branch). */
+  /** Fast-forward CURRENT to the branch head (publish the branch).
+    * Also advances the main-head pointer: main's lineage now ends at
+    * the branch's version, and subsequent [[appendAtomic]] calls must
+    * build on it — leaving the pointer behind would make the next
+    * atomic append silently undo the publish.
+    */
   def fastForward(name: String): Unit =
     DatasetStore.pathLock(path).synchronized {
-      writeAtomic(currentFile, readManifest(branchVersion(name)))
+      val bv = branchVersion(name)
+      advanceMainHead(bv)
+      writeAtomic(currentFile, readManifest(bv))
     }
 
   /** RESTORE: re-commit an earlier snapshot's manifest as a NEW

@@ -52,12 +52,24 @@ object GraftCsvSink {
     }.getOrElse(Seq.empty)
   }
 
-  /** Read the committed snapshot back (schema supplied by caller). */
+  /** Read the committed snapshot back (schema supplied by caller).
+    * Reader options mirror what the writer emits: values are quoted
+    * with doubled-quote escaping (`""`, RFC 4180) — Spark's default
+    * escape is backslash, so `escape="` is required or an embedded
+    * quote tears the row — and embedded newlines stay inside quotes,
+    * so `multiLine` is required or they tear into spurious rows.
+    * multiLine makes each part file non-splittable, which is the
+    * right trade here: parallelism comes from the many per-task part
+    * files, not from splitting one.
+    */
   def readBack(spark: org.apache.spark.sql.SparkSession, dir: String,
       schema: StructType): org.apache.spark.sql.DataFrame = {
     val parts = committedParts(dir)
     require(parts.nonEmpty, s"no committed manifest under $dir")
-    spark.read.schema(schema).csv(parts: _*)
+    spark.read.schema(schema)
+      .option("multiLine", "true")
+      .option("escape", "\"")
+      .csv(parts: _*)
   }
 }
 

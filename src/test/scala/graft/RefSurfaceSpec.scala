@@ -135,14 +135,63 @@ class RefSurfaceSpec extends SparkSpec {
     }
     writers.foreach(_.start())
     writers.foreach(_.join())
-    // every racing append committed exactly once
+    // every racing append committed exactly once — the head has all 9
+    // ids; a lost update would drop one, a clobber would duplicate
     assert(store.read().collect().map(_.getLong(0)).sorted.toSeq == (0L to 8L))
-    // CAS versions are consecutive — no clobbered or skipped commits
-    assert(store.versions() == (1L to 9L))
-    // snapshots grow by exactly one row per version (appends commute,
-    // so each version's cardinality is deterministic even though the
-    // id-to-version assignment is race-dependent)
-    (1L to 9L).foreach(v => assert(store.readAt(v).count() == v))
+    // version numbering is consecutive (every CAS claim targets
+    // last+1); a writer that wins a manifest slot but loses the
+    // head-pointer CAS leaves an ORPHANED manifest — a valid,
+    // segment-retaining snapshot off main's lineage — so the log may
+    // hold more than 9 versions, never fewer
+    val vs = store.versions()
+    assert(vs == (1L to vs.last), "version numbering must be gapless")
+    assert(vs.last >= 9L, "8 appends need at least 8 post-init versions")
+    // the head pointer resolves to the full 9-row snapshot and CURRENT
+    // agrees with it
+    assert(store.headVersion() <= vs.last)
+    assert(store.readAt(store.headVersion()).count() == 9)
+    // every snapshot (head-lineage or orphan) is internally consistent:
+    // between 1 and 9 rows, no duplicated id
+    vs.foreach { v =>
+      val ids = store.readAt(v).collect().map(_.getLong(0)).toSeq
+      assert(ids.size == ids.distinct.size, s"v$v duplicated an id")
+      assert(ids.size >= 1 && ids.size <= 9)
+    }
+  }
+
+  test("DatasetStore interleaved appendAtomic/appendBranch: main and branch lineages never graft") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_storespec_").toString + "/ilv"
+    val store = new graft.sources.DatasetStore(spark, path, "id")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).sorted.toSeq
+    store.init(Seq((0L, 0.0)).toDF("id", "v"))              // v1, head=1
+    store.createBranch("dev", 1L)
+    store.appendBranch("dev", Seq((100L, 1.0)).toDF("id", "v")) // v2 = branch head
+    // the regression this spec pins: appendAtomic must base on MAIN's
+    // head (v1), not versions().last (v2, the branch head) — basing on
+    // the log tail would graft the branch's row 100 into main
+    store.appendAtomic(Seq((1L, 10.0)).toDF("id", "v"))
+    assert(ids(store.read()) == Seq(0L, 1L), "main grafted the branch lineage")
+    assert(ids(store.readBranch("dev")) == Seq(0L, 100L))
+    // branch keeps its own lineage through further interleaving
+    store.appendBranch("dev", Seq((101L, 2.0)).toDF("id", "v"))
+    store.appendAtomic(Seq((2L, 20.0)).toDF("id", "v"))
+    assert(ids(store.read()) == Seq(0L, 1L, 2L))
+    assert(ids(store.readBranch("dev")) == Seq(0L, 100L, 101L))
+    // publish: fastForward moves CURRENT *and* the main head, so the
+    // next atomic append builds on the published branch snapshot
+    store.fastForward("dev")
+    assert(ids(store.read()) == Seq(0L, 100L, 101L))
+    store.appendAtomic(Seq((3L, 30.0)).toDF("id", "v"))
+    assert(ids(store.read()) == Seq(0L, 3L, 100L, 101L),
+      "appendAtomic after fastForward must build on the published head")
+    // expiry never drops a manifest a live ref (branch or main head)
+    // points at
+    store.expireSnapshots(keep = 1)
+    assert(ids(store.readBranch("dev")) == Seq(0L, 100L, 101L),
+      "expiry dropped a branch-referenced manifest")
+    assert(ids(store.read()) == Seq(0L, 3L, 100L, 101L))
   }
 
   test("DatasetStore appendBranch: 8 racing writers across TWO store instances, no lost update") {
@@ -170,6 +219,23 @@ class RefSurfaceSpec extends SparkSpec {
     assert(s2.branchVersion("dev") == s1.branchVersion("dev"))
     // CURRENT is untouched by branch-only writes
     assert(s1.read().collect().map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
+  test("GraftCsvSink round-trips embedded newlines, quotes and commas") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_csvsink_").toString + "/rt"
+    val rows = Seq(
+      (1L, "line one\nline two"),        // embedded newline — needs multiLine
+      (2L, "say \"hi\" now"),            // embedded quote — needs escape="
+      (3L, "a,b,c"),                      // embedded delimiter
+      (4L, "plain"))
+    val df = rows.toDF("id", "s")
+    df.write.format(classOf[graft.sources.GraftCsvSink].getName)
+      .option("path", out).mode("append").save()
+    val back = graft.sources.GraftCsvSink.readBack(spark, out, df.schema)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back.size == 4, s"row count tore: ${back.size} rows came back")
+    rows.foreach { case (id, s) => assert(back(id) == s, s"row $id mangled") }
   }
 
   test("point-in-polygon truth table (codegen + interpreted agree)") {
