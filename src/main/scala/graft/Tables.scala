@@ -27,20 +27,16 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 refuses by
-    * default (PARQUET_TYPE_ILLEGAL). Read ns as long and truncate to
-    * micros — bit-identical to DuckDB's automatic ns→µs truncation
-    * (SURVEY.md §2-B N1). The conf is a runtime SQLConf, so setting it on
-    * the driver-owned session from inside a query fn is safe and sticky.
-    * Output type is TIMESTAMP_NTZ so parquet dumps compare naively
-    * (no UTC adjustment) exactly like DuckDB's TIMESTAMP.
+  /** events.parquet's ts is TIMESTAMP(MICROS, isAdjustedToUTC=false),
+    * which Spark reads natively as TIMESTAMP_NTZ — naive wall time,
+    * exactly DuckDB's TIMESTAMP, so parquet dumps compare directly.
+    * (Earlier generator builds wrote TIMESTAMP(NANOS) as INT64, which
+    * needed the nanosAsLong conf plus an explicit ns→µs truncation
+    * here; the current files need no conversion. This loader stays the
+    * single adaptation point should the physical type change again.)
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast(TimestampNTZType))
-  }
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
 
   /** Exact-decimal arithmetic (SURVEY §2-B R2, hardened).
     *

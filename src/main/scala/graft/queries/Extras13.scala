@@ -27,7 +27,7 @@ object Extras13 {
     val dir = Streaming.stageDir(s, d, copies = 1, sentinels = true)
     def side(tpe: String, prefix: String): DataFrame =
       s.readStream.schema(sch).parquet(dir)
-        .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+        .withColumn("ets", col("ts").cast("timestamp"))
         // sentinels survive the filter so the watermark passes all data
         .filter(col("event_type") === tpe || col("event_type") === "sentinel")
         .select(

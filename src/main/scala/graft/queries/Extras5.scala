@@ -211,16 +211,18 @@ object Extras5 {
         Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
         Files.setLastModifiedTime(dst, FileTime.fromMillis(t0 + seq * 1000)); seq += 1
       }
-      writeOne(raw.filter(col("ts") >= splitNs), "ontime.parquet")
+      val splitTs = lit(Streaming.ntzFromNanos(splitNs))
+      writeOne(raw.filter(col("ts") >= splitTs), "ontime.parquet")
       // far-future sentinels flush the on-time tail windows (B46 note)
       // and pin the watermark far past every late row BEFORE it arrives
       Seq((-1L, maxNs + 2L * 86400 * 1000000000L),
           (-2L, maxNs + 3L * 86400 * 1000000000L)).zipWithIndex.foreach {
         case ((uid, ns), i) =>
-          val row = org.apache.spark.sql.Row(-1000L - i, ns, uid, "sentinel", 0.0, "{}")
+          val row = org.apache.spark.sql.Row(
+            -1000L - i, Streaming.ntzFromNanos(ns), uid, "sentinel", 0.0, "{}")
           writeOne(s.createDataFrame(java.util.List.of(row), sch), s"sentinel-$i.parquet")
       }
-      writeOne(raw.filter(col("ts") < splitNs), "zz-late.parquet")
+      writeOne(raw.filter(col("ts") < splitTs), "zz-late.parquet")
       out.toString
     })
     val agg = Streaming.eventStream(s, dir, sch, maxFilesPerTrigger = Some(1))

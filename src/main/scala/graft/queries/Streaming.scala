@@ -40,21 +40,32 @@ object Streaming {
 
   private val ctr = new AtomicInteger(0)
 
-  /** Raw events schema as read with nanosAsLong (ts is INT64 nanos). */
-  private[graft] def rawSchema(s: SparkSession, d: String): StructType = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** Raw events schema (ts is TIMESTAMP_NTZ micros — see
+    * [[Tables.events]] for the physical-type history). */
+  private[graft] def rawSchema(s: SparkSession, d: String): StructType =
     s.read.parquet(s"$d/events.parquet").schema
-  }
 
   private val maxTsCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private val stageCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Max event ts in nanos — bound for sentinel placement + filters. */
+  /** Max event ts in nanos — bound for sentinel placement + filters.
+    * The nanos unit is the suite-wide convention from the INT64-nanos
+    * generator era; it is derived here from the µs file (UTC sessions,
+    * so the NTZ→TZ cast is value-preserving) and every consumer keeps
+    * doing its arithmetic in ns.
+    */
   private[graft] def maxTsNanos(s: SparkSession, d: String): Long =
     maxTsCache.computeIfAbsent(d, dir => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/events.parquet").agg(max(col("ts"))).head().getLong(0)
+      s.read.parquet(s"$dir/events.parquet")
+        .agg(max(unix_micros(col("ts").cast("timestamp")))).head().getLong(0) * 1000L
     })
+
+  /** Naive wall-time (TIMESTAMP_NTZ value) for an epoch-nanos instant —
+    * what a Row for the events schema needs in its ts slot. */
+  private[graft] def ntzFromNanos(ns: Long): java.time.LocalDateTime =
+    java.time.LocalDateTime.ofEpochSecond(
+      ns / 1000000000L, ((ns % 1000000000L) / 1000L * 1000L).toInt,
+      java.time.ZoneOffset.UTC)
 
   /** Stage a streaming replay dir: `copies`× the real events file, plus
     * (optionally) two far-future sentinel one-row files, with strictly
@@ -84,7 +95,7 @@ object Streaming {
       val sch = rawSchema(s, d)
       Seq((-1L, maxNs + 2L * 86400 * 1000000000L), (-2L, maxNs + 3L * 86400 * 1000000000L))
         .zipWithIndex.foreach { case ((uid, ns), i) =>
-          val row = Row(-1000L - i, ns, uid, "sentinel", 0.0, "{}")
+          val row = Row(-1000L - i, ntzFromNanos(ns), uid, "sentinel", 0.0, "{}")
           val one = s.createDataFrame(java.util.List.of(row), sch).coalesce(1)
           val tmp = Files.createTempDirectory("graft_sent_")
           one.write.mode("overwrite").parquet(tmp.toString)
@@ -97,10 +108,10 @@ object Streaming {
     dir.toString
   }
 
-  /** File-source stream of events with event-time `ets` (µs, matching
-    * Tables.events / DuckDB's ns→µs truncation). By default all files
-    * ride in one trigger (see watermark-flush note above); pass
-    * `maxFilesPerTrigger` to force batch-per-file replay, e.g. for
+  /** File-source stream of events with event-time `ets` (TIMESTAMP, µs,
+    * value-identical to ts under the suite's UTC sessions). By default
+    * all files ride in one trigger (see watermark-flush note above);
+    * pass `maxFilesPerTrigger` to force batch-per-file replay, e.g. for
     * late-data scenarios that need the watermark to advance mid-replay.
     */
   private[graft] def eventStream(s: SparkSession, dir: String, sch: StructType,
@@ -108,7 +119,7 @@ object Streaming {
     val reader = s.readStream.schema(sch)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
     reader.parquet(dir)
-      .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ets", col("ts").cast("timestamp"))
   }
 
   /** Run a streaming frame to completion (AvailableNow) into a memory
@@ -307,7 +318,7 @@ object Streaming {
     val dir = stageDir(s, d, copies = 1, sentinels = false)
     def side(tpe: String, prefix: String): DataFrame =
       s.readStream.schema(sch).parquet(dir)
-        .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+        .withColumn("ets", col("ts").cast("timestamp"))
         .filter(col("event_type") === tpe)
         .select(
           col("event_id").as(s"${prefix}_id"),
@@ -354,7 +365,7 @@ object Streaming {
       s, Files.createTempDirectory("graft_fbu_").toString + "/users", "user_id")
     def mergeBatch(batch: DataFrame, cur: Option[DataFrame]): DataFrame = {
       val agg = batch
-        .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+        .withColumn("ets", col("ts").cast("timestamp"))
         .groupBy("user_id")
         .agg(
           count(lit(1)).as("n_events"),
