@@ -203,9 +203,15 @@ object QueryDsl {
         // lower(col).contains: when the session has an inverted index
         // enabled, TextIndexSearchRule rewrites the conjunct into an
         // index semi-join — the DSL front door's hottest predicate then
-        // never scans the text bytes. Registered via [[predicate]].
+        // never scans the text bytes. Built as a Catalyst expression
+        // directly (not an expr() SQL string): a term containing
+        // backslashes/quotes or a non-identifier column name must never
+        // re-enter the SQL parser, where escaping rules differ.
         textColumns.map(c =>
-          expr(s"${graft.plans.TextIndex.name}($c, '${p.replace("'", "\\'")}')"))
+          org.apache.spark.sql.graftbridge.Bridge.column(
+            graft.plans.GraftTextSearch(
+              org.apache.spark.sql.graftbridge.Bridge.expression(col(c)),
+              org.apache.spark.sql.catalyst.expressions.Literal(p))))
           .reduce(_ || _)
       case FieldValueQuery(f, v) =>
         if (numeric(f)) field(f) === numLit(f, v) else field(f) === lit(v)
@@ -222,7 +228,12 @@ object QueryDsl {
           val purePrefix = "^([^*?\\s']+)\\*$".r
           p match {
             case purePrefix(pre) =>
-              expr(s"${graft.plans.TextIndex.prefixName}($f, '$pre')")
+              // direct expression construction, same rationale as
+              // PhraseQuery: no SQL-string round trip
+              org.apache.spark.sql.graftbridge.Bridge.column(
+                graft.plans.GraftTokenPrefix(
+                  org.apache.spark.sql.graftbridge.Bridge.expression(field(f)),
+                  org.apache.spark.sql.catalyst.expressions.Literal(pre)))
             case _ =>
               exists(split(lower(field(f)), " "),
                 t => t.like(likePattern(p.toLowerCase(java.util.Locale.ROOT),

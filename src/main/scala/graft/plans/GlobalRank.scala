@@ -81,13 +81,21 @@ object GlobalRank {
     * offsets over ≤N_partitions rows → broadcast back → local
     * partitioned cumsum + offset. Bit-identical to the global window
     * for exact types (use longs/decimals; float addition is
-    * order-sensitive either way).
+    * order-sensitive either way). The result column carries the SAME
+    * type `sum(valueCol)` would under the global window — long for
+    * integral inputs, widened decimal for decimals — never a forced
+    * long cast (which would silently truncate the decimal inputs this
+    * scaladoc invites).
     */
   def withExclusivePrefixSum(df: DataFrame, sumCol: String, valueCol: Column,
       sortExprs: Seq[Column], partitions: Int = 32): DataFrame = {
     val ranged = pinIfNondeterministic(df).repartitionByRange(partitions, sortExprs: _*)
       .withColumn("_gsum_pid", spark_partition_id())
       .withColumn("_gsum_v", valueCol)
+    // what sum(valueCol) resolves to for this input: the window
+    // formulation's exact output type (schema-only resolution, no job)
+    val sumType = ranged.select(sum(col("_gsum_v"))).schema.head.dataType
+    val zero = lit(0L).cast(sumType)
     val perPart = ranged.groupBy("_gsum_pid")
       .agg(sum(col("_gsum_v")).as("_gsum_psum"))
     val offsets = perPart
@@ -95,15 +103,15 @@ object GlobalRank {
         coalesce(
           sum(col("_gsum_psum")).over(
             Window.orderBy("_gsum_pid").rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
+          zero))
       .select("_gsum_pid", "_gsum_off")
     val wLocal = Window.partitionBy("_gsum_pid").orderBy(sortExprs: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     ranged
       .join(broadcast(offsets), "_gsum_pid")
       .withColumn(sumCol,
-        (col("_gsum_off") + coalesce(sum(col("_gsum_v")).over(wLocal), lit(0L)))
-          .cast("long"))
+        (col("_gsum_off") + coalesce(sum(col("_gsum_v")).over(wLocal), zero))
+          .cast(sumType))
       .drop("_gsum_pid", "_gsum_v", "_gsum_off")
   }
 

@@ -100,12 +100,19 @@ object Extras98 {
     * Ranking window partitions by probe (≤600 partitions, no skew);
     * top-5 ties broken by id in both engines.
     */
+  /** The kNN eval's fixed probe budget: label-0 vectors with
+    * `vec_id < KnnProbeBudget` qualify as probes. ONE definition
+    * interpolated into BOTH the DataFrame plan and the DuckDB oracle —
+    * the two engines cannot drift (the r7 ADVICE parity hazard).
+    */
+  val KnnProbeBudget = 600
+
   def embedKnnLabelPrecision(s: SparkSession, d: String): DataFrame = {
     val comp = embeddings(s, d)
       .select(col("vec_id"), col("label"), posexplode(col("embedding")))
       .select(col("vec_id"), col("label"), (col("pos") + 1).as("dim"),
         floor(col("col").cast("double") * 1000000d + 0.5d).as("fx"))
-    val q = comp.filter(col("label") === 0 && col("vec_id") < 600)
+    val q = comp.filter(col("label") === 0 && col("vec_id") < KnnProbeBudget)
       .select(col("vec_id").as("qid"), col("dim"), col("fx").as("fq"))
     val t = comp.filter(col("label") =!= 0)
       .select(col("vec_id").as("tid"), col("label"), col("dim"),
@@ -123,7 +130,7 @@ object Extras98 {
       .orderBy("qid")
   }
   val embedKnnLabelPrecisionSql: String =
-    """WITH comp AS (
+    s"""WITH comp AS (
       |  SELECT vec_id, label, dim,
       |    CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1000000 + 0.5)
       |      AS BIGINT) AS fx
@@ -132,7 +139,7 @@ object Extras98 {
       |  SELECT q.vec_id AS qid, t.vec_id AS tid, t.label,
       |    sum(q.fx * t.fx) AS dot
       |  FROM comp q JOIN comp t ON q.dim = t.dim
-      |  WHERE q.label = 0 AND q.vec_id < 600 AND t.label <> 0
+      |  WHERE q.label = 0 AND q.vec_id < $KnnProbeBudget AND t.label <> 0
       |  GROUP BY 1, 2, 3),
       |rk AS (
       |  SELECT qid, label, dot,

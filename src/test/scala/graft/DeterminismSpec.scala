@@ -66,6 +66,37 @@ class DeterminismSpec extends SparkSpec {
     }
   }
 
+  test("GlobalRank prefix-sum preserves DECIMAL inputs (no long truncation)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // sub-integer decimals: a forced long cast (the r7 ADVICE bug)
+    // would collapse every prefix sum below 1.00 to 0
+    val df = (1L to 40L).map(i => (i, BigDecimal(i) / 100))
+      .toDF("id", "v")
+      .withColumn("v", col("v").cast("decimal(10,2)"))
+    val sortExprs = Seq(col("id").asc)
+    val got = graft.plans.GlobalRank
+      .withExclusivePrefixSum(df, "ps", col("v"), sortExprs, partitions = 5)
+    // type parity with the window formulation: sum(decimal(10,2)) widens
+    assert(got.schema("ps").dataType.typeName.startsWith("decimal"),
+      s"prefix-sum type collapsed to ${got.schema("ps").dataType}")
+    val w = Window.orderBy(sortExprs: _*).rowsBetween(Window.unboundedPreceding, -1)
+    val oracle = df
+      .withColumn("ps", coalesce(sum(col("v")).over(w), lit(BigDecimal(0))))
+      .select("id", "ps").collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1).stripTrailingZeros).toMap
+    got.select("id", "ps").collect().foreach { r =>
+      assert(r.getDecimal(1).stripTrailingZeros == oracle(r.getLong(0)),
+        s"decimal prefix-sum mismatch for id=${r.getLong(0)}")
+    }
+    // and long inputs still come back as longs (no behavior change)
+    val longDf = (1L to 10L).map(i => (i, i * 10)).toDF("id", "w")
+    val gotLong = graft.plans.GlobalRank
+      .withExclusivePrefixSum(longDf, "ps", col("w"), Seq(col("id").asc), partitions = 3)
+    assert(gotLong.schema("ps").dataType.typeName == "long")
+  }
+
   test("property: zorder2 interleave is a bijection on 10-bit pairs (codegen == reference)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

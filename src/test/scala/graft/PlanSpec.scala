@@ -459,6 +459,28 @@ class PlanSpec extends SparkSpec {
     assert(df.count() == expected)
   }
 
+  test("embed_knn_label_precision broadcasts the probe side; no corpus×corpus join") {
+    // the r6 scale-killer was an all-pairs corpus×corpus dim-join; the
+    // fixed shape is ONE broadcast join (constant-budget probe side
+    // built, corpus side streamed) + a two-phase partial aggregation
+    val df = graft.queries.Extras98.embedKnnLabelPrecision(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"probe side not broadcast:\n$p")
+    // broadcast(q).join(t, "dim"): the probe table is the LEFT (build)
+    // side — the corpus never becomes the built hash table
+    assert(p.contains("BuildLeft"), s"corpus side was built instead of streamed:\n$p")
+    // exactly one join in the whole plan, and never a shuffled or
+    // nested-loop one — a second join would be the corpus×corpus shape
+    val joinLines = p.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joinLines.size == 1, s"expected exactly one join:\n${joinLines.mkString("\n")}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"corpus-shuffling or all-pairs join in plan:\n$p")
+    // the (qid,tid,label) dot-product aggregation map-side combines
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"dot-product aggregation is not two-phase:\n$p")
+  }
+
   test("text-index rule leaves non-indexed columns to the scan path") {
     import org.apache.spark.sql.functions.{col, expr, lower}
     graft.queries.RefSurface.refTextIndexSearch(spark, sf).count() // ensures index enabled

@@ -93,4 +93,24 @@ class QueryDslSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       docs.filter(QueryDsl.predicate(docs, "nosuchfield:x", Seq("text"))).count())
   }
+
+  test("phrase terms with backslashes/quotes and odd column names never re-enter the SQL parser") {
+    import spark.implicits._
+    // the r7 ADVICE hazard: expr()-string compilation mangled
+    // backslashes ('a\b' became 'ab') and choked on non-identifier
+    // column names; the Column-API compilation must treat both as data
+    val df = Seq(
+      (1L, """path a\b end"""),
+      (2L, "it's quoted"),
+      (3L, "plain row"),
+      (4L, """double \\ back""")).toDF("id", "text col")
+    def hits(q: Query): Seq[Long] =
+      df.filter(QueryDsl.compile(q, df.schema, Seq("text col")))
+        .collect().map(_.getLong(0)).sorted.toSeq
+    assert(hits(PhraseQuery("""a\b""")) == Seq(1L), "single backslash mangled")
+    assert(hits(PhraseQuery("it's")) == Seq(2L), "embedded quote mangled")
+    assert(hits(PhraseQuery("""\\""")) == Seq(4L), "double backslash mangled")
+    // prefix wildcard on the same odd-named text column
+    assert(hits(FieldWildcardQuery("text col", "plai*")) == Seq(3L))
+  }
 }
