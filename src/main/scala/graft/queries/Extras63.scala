@@ -63,6 +63,22 @@ object Extras63 {
       |  ON o_orderpriority = v.pri
       |GROUP BY v.tier ORDER BY v.tier""".stripMargin
 
+  /** Hub cap for the co-occurrence self-joins ([[graphNeighborJaccard]]
+    * here, [[Extras97.graphBipartiteProjection]]): customers whose
+    * DISTINCT-supplier degree exceeds this bound are excluded from PAIR
+    * EMISSION (degree frames still count them), bounding the per-key
+    * self-join at Cap² pair-slots. Recall statement: a supplier pair is
+    * lost only if EVERY customer it co-occurs through is a hub, and the
+    * co-occurrence mass routed through hubs is Σ_{deg(c)>Cap} deg(c)² /
+    * Σ_c deg(c)² of all pair-slots — an upper bound on the fraction of
+    * (sa,sb,ck) co-occurrence evidence dropped; for surviving pairs the
+    * reported n_inter is a lower bound and Jaccard is conservative.
+    * On this corpus max deg(c) ≪ 1024 at every sf (GraphHubCapSpec
+    * measures it), so the cap is an exact no-op here and the oracle
+    * mirrors it; at web scale it is the Σ deg² quadratic-blowup guard.
+    */
+  val GraphHubCap = 1024
+
   /** graph_neighbor_jaccard — node similarity by NEIGHBOR-SET Jaccard
     * on the supplier↔customer bipartite graph (C305's degree census
     * upgraded to pairwise structure — "which suppliers serve the same
@@ -74,22 +90,26 @@ object Extras63 {
     * bite at a low structural threshold (measured here: the
     * candidate-then-verify plan multiplied candidates by full
     * adjacency lists, 150 s at sf0.1; this direct count runs the same
-    * result in seconds). At web scale the one guard this needs is a
-    * hub cap: customers with cf above a bound get sampled or dropped
-    * with a quantified recall statement — the corpus here is far below
-    * any such bound. Emits supplier pairs with Jaccard ≥ 0.2
-    * (neighbor-set overlap is diluted by breadth as the graph
-    * densifies, so the structural threshold sits lower than
+    * result in seconds). The [[GraphHubCap]] guard bounds the per-key
+    * emission (degree counting stays uncapped, so da/db are exact);
+    * the per-customer window count rides the same hash partitioning
+    * the self-join needs — no extra shuffle. Emits supplier pairs with
+    * Jaccard ≥ 0.2 (neighbor-set overlap is diluted by breadth as the
+    * graph densifies, so the structural threshold sits lower than
     * text-shingle thresholds).
     */
   def graphNeighborJaccard(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val edges = lineitem(s, d).select(col("l_suppkey"), col("l_orderkey"))
       .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck")).distinct()
     val sizes = edges.groupBy("sk").agg(count(lit(1)).as("deg"))
-    val inter = edges.select(col("sk").as("sa"), col("ck"))
-      .join(edges.select(col("sk").as("sb"), col("ck")), "ck")
+    val capped = edges
+      .withColumn("cdeg", count(lit(1)).over(Window.partitionBy("ck")))
+      .filter(col("cdeg") <= GraphHubCap).drop("cdeg")
+    val inter = capped.select(col("sk").as("sa"), col("ck"))
+      .join(capped.select(col("sk").as("sb"), col("ck")), "ck")
       .filter(col("sa") < col("sb"))
       .groupBy("sa", "sb").agg(count(lit(1)).as("n_inter"))
     inter
@@ -102,16 +122,24 @@ object Extras63 {
       .orderBy("sa", "sb")
   }
   val graphNeighborJaccardSql: String =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-      |adj AS (SELECT sk, list_sort(list(ck)) AS ns FROM e GROUP BY sk)
-      |SELECT a.sk AS sa, b.sk AS sb,
-      |  CAST(len(list_intersect(a.ns, b.ns)) AS DOUBLE)
-      |    / (len(a.ns) + len(b.ns) - len(list_intersect(a.ns, b.ns))) AS jaccard
-      |FROM adj a JOIN adj b ON a.sk < b.sk
-      |WHERE CAST(len(list_intersect(a.ns, b.ns)) AS DOUBLE)
-      |    / (len(a.ns) + len(b.ns) - len(list_intersect(a.ns, b.ns))) >= 0.2
+      |ec AS (
+      |  SELECT sk, ck FROM (
+      |    SELECT sk, ck, count(*) OVER (PARTITION BY ck) AS cdeg FROM e)
+      |  WHERE cdeg <= $GraphHubCap),
+      |deg AS (SELECT sk, count(*) AS d FROM e GROUP BY sk),
+      |inter AS (
+      |  SELECT a.sk AS sa, b.sk AS sb, count(*) AS n_inter
+      |  FROM ec a JOIN ec b ON a.ck = b.ck AND a.sk < b.sk
+      |  GROUP BY 1, 2)
+      |SELECT sa, sb,
+      |  CAST(n_inter AS DOUBLE) / (da.d + db.d - n_inter) AS jaccard
+      |FROM inter
+      |JOIN deg da ON sa = da.sk
+      |JOIN deg db ON sb = db.sk
+      |WHERE CAST(n_inter AS DOUBLE) / (da.d + db.d - n_inter) >= 0.2
       |ORDER BY sa, sb""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -84,26 +84,39 @@ object Extras97 {
     * (bounded by Σ deg² per customer, never |edges|²), weights
     * partial-aggregate per pair, and the top-20 cut rides the exact
     * (weight, pair) key. The bipartite edge list distincts once.
+    * Per-customer emission is bounded by [[Extras63.GraphHubCap]] (see
+    * its recall statement; a no-op on this corpus, the Σ deg² guard at
+    * web scale) — the window count shares the self-join's hash
+    * partitioning, so the cap costs no extra shuffle.
     */
   def graphBipartiteProjection(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val edges = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
       .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
       .distinct()
-    edges.select(col("ck"), col("sk").as("sa"))
-      .join(edges.select(col("ck"), col("sk").as("sb")), "ck")
+    val capped = edges
+      .withColumn("cdeg", count(lit(1)).over(Window.partitionBy("ck")))
+      .filter(col("cdeg") <= Extras63.GraphHubCap).drop("cdeg")
+    capped.select(col("ck"), col("sk").as("sa"))
+      .join(capped.select(col("ck"), col("sk").as("sb")), "ck")
       .filter(col("sa") < col("sb"))
       .groupBy("sa", "sb").agg(count(lit(1)).as("shared_customers"))
       .orderBy(col("shared_customers").desc, col("sa"), col("sb"))
       .limit(20)
   }
   val graphBipartiteProjectionSql: String =
-    """WITH edges AS (
+    s"""WITH edges AS (
       |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
-      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |ec AS (
+      |  SELECT ck, sk FROM (
+      |    SELECT ck, sk, count(*) OVER (PARTITION BY ck) AS cdeg
+      |    FROM edges)
+      |  WHERE cdeg <= ${Extras63.GraphHubCap})
       |SELECT a.sk AS sa, b.sk AS sb, count(*) AS shared_customers
-      |FROM edges a JOIN edges b ON a.ck = b.ck AND a.sk < b.sk
+      |FROM ec a JOIN ec b ON a.ck = b.ck AND a.sk < b.sk
       |GROUP BY 1, 2
       |ORDER BY shared_customers DESC, sa, sb LIMIT 20""".stripMargin
 
