@@ -57,8 +57,21 @@ object ScaleUp {
       }.reduce(_ unionByName _)
     }
 
+    /** Write as ONE parquet FILE at $dst/<name>.parquet — the driver
+      * testdata layout. The streaming replay stager (`Streaming
+      * .stageDir`) `Files.copy`s that path as a file; a directory there
+      * silently copies as an EMPTY dir and every staged stream replays
+      * nothing (found the hard way: sf1 streaming rows measured
+      * sentinel-only until this matched the testdata layout).
+      */
     def write(df: DataFrame, name: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_scaleup_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(dst, s"$name.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       System.err.println(s"SCALEUP: $name done")
     }
 
