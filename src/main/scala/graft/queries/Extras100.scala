@@ -70,6 +70,58 @@ object Extras100 {
        |FROM spans GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
        |ORDER BY span_md5""".stripMargin
 
+  /** dedup_substring_rolling — [[dedupSubstringExact]]'s production
+    * variant: EVERY-OFFSET coverage (stride 1) via the Karp–Rabin
+    * rolling hash ([[graft.functions.RollingHash64]], O(1) per offset
+    * inside whole-stage codegen), so a duplicated region of ANY
+    * alignment ≥ SpanLen chars is guaranteed detected — the stride
+    * version's phase caveat is gone. Shape: (doc, pos, h64) rows — one
+    * per character, the honest price of exhaustive coverage — group
+    * the RAW hash to find buckets spanning ≥2 docs (pure prefilter),
+    * keep only those occurrences, then EXACT-VERIFY by md5 of the
+    * extracted span, so a 64-bit collision costs a wasted candidate,
+    * never a wrong row; the md5-level distinct-doc filter re-applies.
+    * The oracle computes the same answer definitionally (md5 at every
+    * offset) — identical output, O(win)-per-offset cost the rolling
+    * hash exists to avoid. At 100 TB: hash rows shuffle once (8-byte
+    * key), candidate extraction re-reads only candidate docs' text.
+    */
+  def dedupSubstringRolling(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).filter(length(col("text")) >= SpanLen)
+    val hashes = docs
+      .select(col("doc_id"),
+        posexplode(org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.functions.RollingHash64(
+            org.apache.spark.sql.graftbridge.Bridge.expression(col("text")),
+            org.apache.spark.sql.catalyst.expressions.Literal(SpanLen)))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
+    val dupBuckets = hashes.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val cands = hashes.join(dupBuckets, "h")
+    cands.join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"),
+        md5(col("text").substr(col("pos"), lit(SpanLen))).as("span_md5"))
+      .groupBy("span_md5")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("span_md5")
+  }
+  val dedupSubstringRollingSql: String =
+    s"""WITH spans AS (
+       |  SELECT doc_id, md5(substr(text, pos, $SpanLen)) AS span_md5
+       |  FROM (
+       |    SELECT doc_id, text,
+       |      unnest(generate_series(1, len(text) - ${SpanLen - 1}, 1))
+       |        AS pos
+       |    FROM documents WHERE len(text) >= $SpanLen))
+       |SELECT span_md5, count(DISTINCT doc_id) AS n_docs,
+       |  count(*) AS n_occ, min(doc_id) AS first_doc
+       |FROM spans GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+       |ORDER BY span_md5""".stripMargin
+
   // ----- incremental release dedup: two snapshots of one DatasetStore
 
   private val relStores =
@@ -152,11 +204,13 @@ object Extras100 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_substring_exact" -> (dedupSubstringExact _),
+    "dedup_substring_rolling" -> (dedupSubstringRolling _),
     "dedup_incremental_release" -> (dedupIncrementalRelease _),
     "stream_rocksdb_state" -> (streamRocksdbState _))
 
   val oracle: Map[String, String] = Map(
     "dedup_substring_exact" -> dedupSubstringExactSql,
+    "dedup_substring_rolling" -> dedupSubstringRollingSql,
     "dedup_incremental_release" -> dedupIncrementalReleaseSql,
     "stream_rocksdb_state" -> streamRocksdbStateSql)
 }

@@ -39,6 +39,68 @@ class SubstringDedupSpec extends SparkSpec {
     assert(out.exists(_.getLong(3) == 1L))
   }
 
+  test("rolling-hash kernel matches brute-force window hashing on random strings") {
+    // the O(1)-per-offset roll must equal recomputing each window's
+    // polynomial from scratch — any drift silently splits hash buckets
+    // and costs recall in the prefilter
+    val rnd = new scala.util.Random(42)
+    val B = 0x100000001b3L
+    def brute(s: String, w: Int): Seq[Long] =
+      (0 to s.length - w).map { k =>
+        var h = 0L
+        (k until k + w).foreach(i => h = h * B + s.charAt(i))
+        h
+      }
+    (0 until 200).foreach { _ =>
+      val n = 1 + rnd.nextInt(200)
+      val w = 1 + rnd.nextInt(20)
+      val s = (0 until n).map(_ => (32 + rnd.nextInt(95)).toChar).mkString
+      val got = graft.functions.RollingHashKernel
+        .compute(org.apache.spark.unsafe.types.UTF8String.fromString(s), w)
+        .toLongArray().toSeq
+      val want = if (s.length >= w) brute(s, w) else Seq.empty
+      assert(got == want, s"rolling hash diverged for len=$n win=$w")
+    }
+  }
+
+  test("rolling miner finds every alignment: planted mid-text duplicate invisible to the stride miner") {
+    import spark.implicits._
+    val L = graft.queries.Extras100.SpanLen
+    // the shared region sits at DIFFERENT, non-stride-aligned offsets
+    // in the two docs (17 vs 41 chars of unique prefix), so no
+    // stride-aligned window is common — the stride miner must miss it,
+    // the every-offset roller must find it
+    val shared = ("shared passage that is exactly long enough to cover one full " +
+      "window of the rolling hash at any alignment").take(L + 2)
+    val docs = Seq(
+      (1L, "x" * 17 + shared + " tail one"),
+      (2L, "y" * 41 + shared + " other tail"),
+      (3L, "entirely unrelated filler text " + "z" * 120)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = Files.createTempDirectory("graft_roll_").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rolling = graft.queries.Extras100.dedupSubstringRolling(spark, dir).collect()
+    assert(rolling.nonEmpty, "misaligned duplicate not found by the rolling miner")
+    assert(rolling.forall(_.getLong(1) >= 2))
+    assert(rolling.forall(_.getLong(3) != 3L))
+    val stride = graft.queries.Extras100.dedupSubstringExact(spark, dir).collect()
+    assert(stride.isEmpty,
+      "fixture broken: the stride miner found the pair, so alignment was not adversarial")
+  }
+
+  test("every stride-aligned duplicate span is also reported by the rolling miner") {
+    // stride windows are a subset of every-offset windows, so on the
+    // SAME corpus the stride miner's span set must be contained in the
+    // rolling miner's
+    val strideSpans = graft.queries.Extras100.dedupSubstringExact(spark, sf)
+      .select("span_md5").collect().map(_.getString(0)).toSet
+    val rollingSpans = graft.queries.Extras100.dedupSubstringRolling(spark, sf)
+      .select("span_md5").collect().map(_.getString(0)).toSet
+    assert(strideSpans.subsetOf(rollingSpans),
+      s"rolling miner missed ${(strideSpans -- rollingSpans).size} stride-found spans")
+  }
+
   test("incremental release dedup reads two snapshots and never re-admits prior content") {
     val store = graft.queries.Extras100.releaseStore(spark, sf)
     assert(store.versions().take(2) == Seq(1L, 2L),
