@@ -24,26 +24,46 @@ import org.apache.spark.sql.functions._
   * The result is bit-identical to the single-partition formulation for
   * a total (tie-free) sort order, with every heavy stage parallel.
   *
-  * CONSISTENCY: both passes traverse the same range exchange; Spark's
-  * ReuseExchange materializes it once, so partition ids agree between
-  * the counts pass and the rank pass. A NONDETERMINISTIC input would
-  * defeat that reuse — each traversal would re-sample range boundaries
-  * under a fresh `rdd.id` seed and assign rows to different partitions,
-  * silently corrupting ranks. Any nondeterministic input is therefore
-  * pinned with an eager `localCheckpoint` first (the materialization a
-  * two-pass algorithm over unstable input needs at any scale).
+  * CONSISTENCY: the offsets pass and the data pass MUST see the same
+  * partition boundaries. `RangePartitioner` seeds its boundary sampling
+  * from `rdd.id`, so two separate materializations of the same range
+  * exchange can draw DIFFERENT boundaries — and Spark's ReuseExchange
+  * is not a guarantee: under AQE, multi-level plans (a prefix-sum over
+  * a prefix-sum, a ranked frame self-joined for neighbor lookup) were
+  * MEASURED re-executing the exchange per branch at sf0.1, which keyed
+  * the offsets to the wrong partitions and silently corrupted three
+  * rows' results (stat_ks_test, stat_mannwhitney_u,
+  * dedup_sorted_neighborhood — caught by the r8 sf0.1 oracle
+  * cross-check; sf0.01 was too small for the sampled boundaries to
+  * diverge). The ranged frame is therefore ALWAYS pinned with a lazy
+  * `localCheckpoint`: ONE concrete RDD (one boundary draw) is fixed
+  * into the plan and every pass reads it — correctness no longer
+  * depends on an optimizer rule firing. The checkpoint also
+  * short-circuits recomputation for consumers that traverse the ranked
+  * frame several times (the self-join shapes above). At cluster scale
+  * the same pinning is required for the same reason; executor loss
+  * invalidating a local checkpoint fails the job visibly and a retry
+  * recomputes — never a silent wrong answer.
   */
 object GlobalRank {
 
-  /** Materialize `df` iff its plan contains a nondeterministic
-    * expression (rand, monotonically_increasing_id, shuffle, ...), so
-    * the two passes below see one consistent snapshot.
+  /** Executed plans of frames pinned in this JVM (bounded ring) —
+    * PLAN-TEST VISIBILITY ONLY: `localCheckpoint` hides the pinned
+    * subtree from the consumer's explain, so scan-level assertions
+    * (pushdown, index semi-joins) on composites that end in a rank
+    * pass read the inner plans from here.
     */
-  private def pinIfNondeterministic(df: DataFrame): DataFrame = {
-    val nonDet = df.queryExecution.analyzed.collectFirst {
-      case p if p.expressions.exists(e => !e.deterministic) => p
-    }
-    if (nonDet.isDefined) df.localCheckpoint(true) else df
+  val recentInnerPlans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  /** Pin one concrete materialization of the ranged frame (see the
+    * CONSISTENCY note above): a single boundary draw + partition-id
+    * assignment that every downstream pass shares. Lazy — materializes
+    * inside the first consuming job.
+    */
+  private def pinned(df: DataFrame): DataFrame = {
+    recentInnerPlans.add(df.queryExecution.executedPlan.toString)
+    while (recentInnerPlans.size > 32) { recentInnerPlans.poll(); () }
+    df.localCheckpoint(false)
   }
 
   /** Add `rnCol` = 1-based global row number of the total order given
@@ -89,9 +109,9 @@ object GlobalRank {
     */
   def withExclusivePrefixSum(df: DataFrame, sumCol: String, valueCol: Column,
       sortExprs: Seq[Column], partitions: Int = 32): DataFrame = {
-    val ranged = pinIfNondeterministic(df).repartitionByRange(partitions, sortExprs: _*)
+    val ranged = pinned(df.repartitionByRange(partitions, sortExprs: _*)
       .withColumn("_gsum_pid", spark_partition_id())
-      .withColumn("_gsum_v", valueCol)
+      .withColumn("_gsum_v", valueCol))
     // what sum(valueCol) resolves to for this input: the window
     // formulation's exact output type (schema-only resolution, no job)
     val sumType = ranged.select(sum(col("_gsum_v"))).schema.head.dataType
@@ -117,8 +137,8 @@ object GlobalRank {
 
   private def ranked(df: DataFrame, rnCol: String, totalCol: Option[String],
       sortExprs: Seq[Column], partitions: Int): DataFrame = {
-    val ranged = pinIfNondeterministic(df).repartitionByRange(partitions, sortExprs: _*)
-      .withColumn("_grank_pid", spark_partition_id())
+    val ranged = pinned(df.repartitionByRange(partitions, sortExprs: _*)
+      .withColumn("_grank_pid", spark_partition_id()))
     val counts = ranged.groupBy("_grank_pid").agg(count(lit(1)).as("_grank_cnt"))
     val wAll = Window.orderBy("_grank_pid")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

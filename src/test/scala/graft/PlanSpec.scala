@@ -11,6 +11,18 @@ class PlanSpec extends SparkSpec {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** Plan text including the subtrees GlobalRank pinned while building
+    * `df` — composites ending in a rank pass hide their scan stages
+    * behind the consistency checkpoint (see GlobalRank's CONSISTENCY
+    * note); scan-level assertions need the inner plans too.
+    */
+  private def planWithPinned(mk: => org.apache.spark.sql.DataFrame): String = {
+    graft.plans.GlobalRank.recentInnerPlans.clear()
+    val outer = plan(mk)
+    import scala.jdk.CollectionConverters._
+    (graft.plans.GlobalRank.recentInnerPlans.asScala.toSeq :+ outer).mkString("\n")
+  }
+
   test("join_broadcast is a BroadcastHashJoin") {
     assert(plan(Relational.joinBroadcast(spark, sf)).contains("BroadcastHashJoin"))
   }
@@ -361,8 +373,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("ref_dataset_query_full: DSL range pushed to the scan, ONE pgroup semi-join") {
-    val df = graft.queries.Extras52.refDatasetQueryFull(spark, sf)
-    val p = plan(df)
+    val p = planWithPinned(graft.queries.Extras52.refDatasetQueryFull(spark, sf))
     // the DSL's n_chars:[100 TO 450] range reaches the parquet scan
     assert(p.contains("PushedFilters: [") && p.contains("GreaterThanOrEqual(n_chars,100"),
       s"DSL range filter not pushed to the documents scan:\n$p")
@@ -384,8 +395,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("ref_dataset_query_polygon: bbox prefilter + exact ray-cast verify, text term indexed") {
-    val df = graft.queries.Extras54.refDatasetQueryPolygon(spark, sf)
-    val p = plan(df)
+    val p = planWithPinned(graft.queries.Extras54.refDatasetQueryPolygon(spark, sf))
     // exact verify present…
     assert(p.contains("pointinpolygon") || p.contains("PointInPolygon"),
       s"ray-cast verify missing from polygon composite:\n$p")
