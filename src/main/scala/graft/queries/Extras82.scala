@@ -128,8 +128,15 @@ object Extras82 {
     * revenue: the sliding sums (Σx, Σx²) run in EXACT decimal over the
     * calendar-bounded O(days) aggregate frame (the fact table never
     * enters a window), variance/bands assembled per-row in one IEEE
-    * block from the exact sums — identical on both engines because the
-    * inputs are identical exact decimals.
+    * block from the exact sums. Band output rounds to 2 decimals
+    * (money precision), NOT 6: Σx² carries ~19 significant digits, and
+    * a >53-bit decimal→double cast is correctly rounded in Spark
+    * (BigDecimal.doubleValue) but DOUBLE-ROUNDED in DuckDB
+    * (int128→double, then /10⁴) — the resulting 1-ulp input skew
+    * landed on round()'s half-way boundary in ~0.4% of cells at
+    * round(…,6) (caught by the r8 sf0.1 cross-check); at 2 decimals
+    * the boundary band is 10⁴× wider than the ulp skew and the
+    * comparison is robust at any sf.
     */
   def winBollingerBands(s: SparkSession, d: String): DataFrame = {
     val daily = orders(s, d)
@@ -146,10 +153,10 @@ object Extras82 {
         round(col("s1") / 7.0d, 6).as("sma7"),
         round(col("s1") / 7.0d
           - lit(2.0d) * sqrt((lit(7.0d) * col("s2") - col("s1") * col("s1"))
-            / 49.0d), 6).as("band_lo"),
+            / 49.0d), 2).as("band_lo"),
         round(col("s1") / 7.0d
           + lit(2.0d) * sqrt((lit(7.0d) * col("s2") - col("s1") * col("s1"))
-            / 49.0d), 6).as("band_hi"))
+            / 49.0d), 2).as("band_hi"))
       .orderBy("day")
   }
   val winBollingerBandsSql: String =
@@ -166,9 +173,9 @@ object Extras82 {
       |  WINDOW win AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
       |SELECT CAST(day AS TIMESTAMP) AS day, rev,
       |  round(s1 / 7.0, 6) AS sma7,
-      |  round(s1 / 7.0 - 2.0 * sqrt((7.0 * s2 - s1 * s1) / 49.0), 6)
+      |  round(s1 / 7.0 - 2.0 * sqrt((7.0 * s2 - s1 * s1) / 49.0), 2)
       |    AS band_lo,
-      |  round(s1 / 7.0 + 2.0 * sqrt((7.0 * s2 - s1 * s1) / 49.0), 6)
+      |  round(s1 / 7.0 + 2.0 * sqrt((7.0 * s2 - s1 * s1) / 49.0), 2)
       |    AS band_hi
       |FROM w WHERE cnt = 7 ORDER BY day""".stripMargin
 
