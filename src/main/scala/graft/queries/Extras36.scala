@@ -90,34 +90,43 @@ object Extras36 {
     * distributed as plain joins, no driver-side model state.
     */
   def embedKmeansFixed(s: SparkSession, d: String): DataFrame = {
+    // Pin the quantized frame and each round's centroid table eagerly:
+    // Lloyd's loop otherwise nests the full quantize+join+argmin chain
+    // once per round inside the next round's plan (the embed_pca_power
+    // lineage-nesting cost), recomputing round k-1 from scratch to
+    // build round k. Pinned, each round touches only the k×dims
+    // centroid frame plus one pass over q.
     val q = embeddings(s, d).select(col("vec_id"),
         posexplode(expr(
           """transform(embedding,
             |  x -> cast(greatest(least(floor(cast(x as double) * 127 + 0.5), 127), -127)
             |    as bigint) + 127L)""".stripMargin)).as(Seq("dim", "v")))
+      .localCheckpoint(true)
     var cent = q.filter(col("vec_id") < KmK)
       .select(col("vec_id").as("c"), col("dim"), col("v").as("cv"))
+    // arg-min assignment as min(struct(d2, c)) — a hash aggregation
+    // with map-side combine (lexicographic struct min = lowest d2, tie
+    // to lowest centroid, exactly row_number(ORDER BY d2, c) = 1 — the
+    // oracle keeps that spelling), replacing a window that re-shuffled
+    // and SORTED the n·k distance frame every round.
+    def argmin(dist: DataFrame): DataFrame = dist
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("c"))).as("m"))
+      .select(col("vec_id"), col("m.c").as("c"))
     for (_ <- 1 to KmIters) {
       val dist = q.join(cent, "dim")
         .groupBy("vec_id", "c")
         .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("d2"))
-      val assign = dist
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("vec_id").orderBy(col("d2"), col("c"))))
-        .filter(col("rn") === 1).select("vec_id", "c")
+      val assign = argmin(dist)
       cent = q.join(assign, "vec_id")
         .groupBy("c", "dim")
         .agg(expr("sum(v) div count(1)").as("cv"))
+        .localCheckpoint(true)
     }
     val dist = q.join(cent, "dim")
       .groupBy("vec_id", "c")
       .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("d2"))
-    val assign = dist
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("vec_id").orderBy(col("d2"), col("c"))))
-      .filter(col("rn") === 1).select("vec_id", "c")
+    val assign = argmin(dist)
     assign.groupBy("c").agg(count(lit(1)).as("n_vecs"))
       .join(cent.groupBy("c").agg(sum(col("cv")).as("cent_checksum")), "c")
       .orderBy("c")

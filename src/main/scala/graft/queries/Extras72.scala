@@ -107,8 +107,12 @@ object Extras72 {
     * confidence interval for the mean (the hash-replicate cousin of
     * the Poisson bootstrap used on clusters precisely because it needs
     * no RNG state): 64 half-sample replicates, row membership in
-    * replicate r decided by one md5 bit of (id, r) — reproducible
-    * across engines, reruns, and partitionings, unlike rand(). Each
+    * replicate r decided by bit r of the row's ONE md5 digest (hex
+    * digit r/4, bit r%4 — 64 independent fair bits per row, ONE hash
+    * per row instead of one per (row, replicate); the per-pair md5
+    * spelling this replaced spent its whole 3.2 s hashing 64× the
+    * corpus) — reproducible across engines, reruns, and
+    * partitionings, unlike rand(). Each
     * replicate's mean is an exact-decimal sum with ONE final IEEE
     * division; the CI bounds are ELEMENT selections
     * (percentile_disc) from the 64-row replicate frame — never
@@ -119,10 +123,13 @@ object Extras72 {
   def statSubsampleCi(s: SparkSession, d: String): DataFrame = {
     val reps = events(s, d)
       .select(col("event_id"), dec(col("value")).as(("v")))
+      .withColumn("hx", md5(col("event_id").cast("string")))
       .withColumn("r", explode(sequence(lit(0), lit(63))))
-      .filter(substring(md5(
-        concat(col("event_id").cast("string"), lit(":"), col("r").cast("string"))),
-        1, 1).isin("1", "3", "5", "7", "9", "b", "d", "f"))
+      .filter(expr(
+        """(shiftright(
+          |   instr('0123456789abcdef',
+          |     substring(hx, CAST(r DIV 4 AS INT) + 1, 1)) - 1,
+          |   CAST(r % 4 AS INT)) & 1) = 1""".stripMargin))
       .groupBy("r")
       .agg((sum(col("v")).cast("double") / count(lit(1))).as("m"))
     val full = events(s, d).agg(davg(col("value")).as("mean_full"))
@@ -140,10 +147,11 @@ object Extras72 {
     """WITH reps AS (
       |  SELECT r,
       |    CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / count(*) AS m
-      |  FROM events, (SELECT unnest(generate_series(0, 63)) AS r)
-      |  WHERE substr(md5(CAST(event_id AS VARCHAR) || ':'
-      |      || CAST(r AS VARCHAR)), 1, 1)
-      |    IN ('1','3','5','7','9','b','d','f')
+      |  FROM (SELECT *, md5(CAST(event_id AS VARCHAR)) AS hx FROM events),
+      |    (SELECT unnest(generate_series(0, 63)) AS r)
+      |  WHERE ((instr('0123456789abcdef',
+      |      substr(hx, CAST(r // 4 AS INT) + 1, 1)) - 1)
+      |      >> CAST(r % 4 AS INT)) & 1 = 1
       |  GROUP BY 1)
       |SELECT count(*) AS n_replicates,
       |  (SELECT round(CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE)

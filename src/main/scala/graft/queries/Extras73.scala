@@ -78,8 +78,14 @@ object Extras73 {
     * shuffled three whole-data maps: 11.8 s → ~3 s at sf0.1).
     */
   def aggEquidepthHistogram(s: SparkSession, d: String): DataFrame = {
+    // The counts frame feeds THREE consumers (prefix-sum, total,
+    // bucket-sum); pin it eagerly so the 600k-row fact scan + partial
+    // agg runs once, not once per consumer (measured 4.9 s → ~2 s at
+    // sf0.1). O(distinct) rows of (decimal, long) — safe to pin at any
+    // sf where distinct values fit the cluster's block store.
     val vc = lineitem(s, d).select(dec(col("l_extendedprice")).as("v"))
       .groupBy("v").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val cum = graft.plans.GlobalRank
       .withExclusivePrefixSum(vc, "cumx", col("cnt"), Seq(col("v")))
       .withColumn("cum", col("cumx") + col("cnt"))
