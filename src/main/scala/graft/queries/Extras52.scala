@@ -173,6 +173,10 @@ object Extras52 {
       .agg(
         max(when(col("field") === "doc_id", col("value_num"))).cast("long").as("doc_id"),
         max(when(col("field") === "n_chars", col("value_num"))).cast("long").as("n_chars"))
+      // pinned: the parsed-record frame feeds validation, the publish
+      // projection, and (via pub) three store actions — without the pin
+      // each consumer re-parses every .sb file from disk
+      .localCheckpoint(true)
     // 2 — validate: rule battery per record, rolled up per submission
     val v = recs.groupBy("lang").agg(
       count(lit(1)).as("n_records"),

@@ -87,7 +87,11 @@ object Extras82 {
     * cut is deterministic — lift is reported, never sorted on.
     */
   def analyticsBasketLift(s: SparkSession, d: String): DataFrame = {
+    // The distinct (order, part) frame feeds FOUR consumers (order
+    // count, per-part counts, both sides of the pair self-join) — pin
+    // it so the 600k-row distinct shuffle runs once, not per consumer.
     val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint(true)
     val nOrders = li.select(col("l_orderkey")).distinct()
       .agg(count(lit(1)).as("n_orders"))
     val perPart = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
