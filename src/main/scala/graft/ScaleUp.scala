@@ -44,8 +44,13 @@ object ScaleUp {
     val suppBase  = maxOf("supplier", "s_suppkey")
     val partBase  = maxOf("part", "p_partkey")
     val eventBase = maxOf("events", "event_id")
-    val docBase   = maxOf("documents", "doc_id")
-    val vecBase   = maxOf("embeddings", "vec_id")
+    // documents and embeddings share ONE base: doc_id = vec_id is the
+    // fixture's cross-modal alignment (multimodal_join and every
+    // doc↔embedding row join on it), so shifting the two tables by
+    // independent bases would misalign copy i's docs with copy j's
+    // vectors and silently change join cardinality per copy
+    val docVecBase = math.max(maxOf("documents", "doc_id"),
+      maxOf("embeddings", "vec_id"))
 
     /** Union of `copies` key-shifted images of the table. */
     def up(table: String, shifts: Map[String, Long]): DataFrame = {
@@ -67,8 +72,11 @@ object ScaleUp {
     def write(df: DataFrame, name: String): Unit = {
       val tmp = java.nio.file.Files.createTempDirectory(s"graft_scaleup_$name")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp)
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val listing = java.nio.file.Files.list(tmp)
+      val part =
+        try listing.filter(p => p.toString.endsWith(".parquet")).findFirst()
+          .orElseThrow(() => new IllegalStateException(s"no part file written for $name"))
+        finally listing.close()
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
       java.nio.file.Files.move(part, java.nio.file.Paths.get(dst, s"$name.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -84,8 +92,8 @@ object ScaleUp {
     write(up("lineitem", Map("l_orderkey" -> orderBase, "l_partkey" -> partBase,
       "l_suppkey" -> suppBase)), "lineitem")
     write(up("events", Map("event_id" -> eventBase, "user_id" -> custBase)), "events")
-    write(up("documents", Map("doc_id" -> docBase)), "documents")
-    write(up("embeddings", Map("vec_id" -> vecBase)), "embeddings")
+    write(up("documents", Map("doc_id" -> docVecBase)), "documents")
+    write(up("embeddings", Map("vec_id" -> docVecBase)), "embeddings")
     spark.stop()
   }
 }

@@ -11,8 +11,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * order. O(1) per offset after the first window — the reason
   * every-offset substring mining is affordable at all: recomputing even
   * a cheap hash per offset is O(win) each, a 64× constant on the
-  * corpus-dominating stage. Windows are CHARACTER-based to stay aligned
-  * with SQL `substr` semantics, so a downstream exact verify can
+  * corpus-dominating stage. Windows are CODE-POINT-based to stay
+  * aligned with SQL `substr` semantics (both Spark and DuckDB count
+  * code points, not UTF-16 units), so a downstream exact verify can
   * extract precisely the hashed span.
   *
   * The raw polynomial (base FNV-prime) is NOT collision-safe and not
@@ -22,8 +23,14 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object RollingHashKernel {
   def compute(s: UTF8String, win: Int): ArrayData = {
-    val str = s.toString
-    val n = str.length
+    // code-point array, NOT String.charAt: SQL substr (Spark and
+    // DuckDB both) counts code points, and charAt counts UTF-16 units —
+    // one supplementary character (emoji, rare CJK) before a duplicated
+    // region would shift every downstream position and break the
+    // exact-verify alignment. ASCII corpora hit the same fast path
+    // either way (one int per char).
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
     if (win <= 0 || n < win) return new GenericArrayData(Array.emptyLongArray)
     val out = new Array[Long](n - win + 1)
     val B = 0x100000001b3L
@@ -32,11 +39,11 @@ object RollingHashKernel {
     while (e < win - 1) { pw *= B; e += 1 }
     var h = 0L
     var i = 0
-    while (i < win) { h = h * B + str.charAt(i); i += 1 }
+    while (i < win) { h = h * B + cps(i); i += 1 }
     out(0) = h
     var k = 1
     while (k + win - 1 < n) {
-      h = (h - str.charAt(k - 1) * pw) * B + str.charAt(k + win - 1)
+      h = (h - cps(k - 1) * pw) * B + cps(k + win - 1)
       out(k) = h
       k += 1
     }

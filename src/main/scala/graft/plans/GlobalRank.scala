@@ -51,9 +51,13 @@ object GlobalRank {
     * PLAN-TEST VISIBILITY ONLY: `localCheckpoint` hides the pinned
     * subtree from the consumer's explain, so scan-level assertions
     * (pushdown, index semi-joins) on composites that end in a rank
-    * pass read the inner plans from here.
+    * pass read the inner plans from here. Capture is OFF unless a plan
+    * test flips [[capturePlans]]: rendering the executed plan tree to
+    * a string on every production pin is pure overhead (multi-KB
+    * strings, retained 32-deep) the Bench/Verify hot path must not pay.
     */
   val recentInnerPlans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  @volatile var capturePlans = false
 
   /** Pin one concrete materialization of the ranged frame (see the
     * CONSISTENCY note above): a single boundary draw + partition-id
@@ -61,8 +65,10 @@ object GlobalRank {
     * inside the first consuming job.
     */
   private def pinned(df: DataFrame): DataFrame = {
-    recentInnerPlans.add(df.queryExecution.executedPlan.toString)
-    while (recentInnerPlans.size > 32) { recentInnerPlans.poll(); () }
+    if (capturePlans) {
+      recentInnerPlans.add(df.queryExecution.executedPlan.toString)
+      while (recentInnerPlans.size > 32) { recentInnerPlans.poll(); () }
+    }
     df.localCheckpoint(false)
   }
 

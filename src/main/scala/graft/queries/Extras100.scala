@@ -88,6 +88,11 @@ object Extras100 {
     */
   def dedupSubstringRolling(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).filter(length(col("text")) >= SpanLen)
+    // hashes feeds TWO consumers (the dup-bucket group-by and the
+    // candidate join) — pin it so the corpus-dominating scan + rolling
+    // hash + per-character explode runs once, not per consumer (the
+    // Extras82 basket_lift pattern; on a cluster this is a persisted
+    // staging frame)
     val hashes = docs
       .select(col("doc_id"),
         posexplode(org.apache.spark.sql.graftbridge.Bridge.column(
@@ -95,6 +100,7 @@ object Extras100 {
             org.apache.spark.sql.graftbridge.Bridge.expression(col("text")),
             org.apache.spark.sql.catalyst.expressions.Literal(SpanLen)))))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
+      .localCheckpoint(true)
     val dupBuckets = hashes.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select("h")

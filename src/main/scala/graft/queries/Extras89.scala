@@ -53,9 +53,16 @@ object Extras89 {
     val dots = broadcast(q).join(t, "dim")
       .groupBy("qid", "tid", "label")
       .agg(sum(col("fq") * col("ft")).as("dot"))
+    // qid-side norms filter BEFORE the broadcast: qid only takes values
+    // < MaxsimQueryBudget, so ship ≤ budget rows — a bare
+    // broadcast(norms) here would collect one row per CORPUS vector to
+    // the driver, the exact unbounded-broadcast shape the tid side
+    // deliberately leaves to AQE (the inner join on qid discards the
+    // few non-query rows the id-only filter lets through)
+    val qNorms = norms.filter(col("vec_id") < MaxsimQueryBudget)
+      .select(col("vec_id").as("qid"), col("n2").as("nq"))
     val cos = dots
-      .join(broadcast(norms.select(col("vec_id").as("qid"),
-        col("n2").as("nq"))), "qid")
+      .join(broadcast(qNorms), "qid")
       .join(norms.select(col("vec_id").as("tid"),
         col("n2").as("nt")), "tid")
       .select(col("qid"), col("label"),

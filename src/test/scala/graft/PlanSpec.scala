@@ -18,7 +18,10 @@ class PlanSpec extends SparkSpec {
     */
   private def planWithPinned(mk: => org.apache.spark.sql.DataFrame): String = {
     graft.plans.GlobalRank.recentInnerPlans.clear()
-    val outer = plan(mk)
+    graft.plans.GlobalRank.capturePlans = true
+    val outer =
+      try plan(mk)
+      finally graft.plans.GlobalRank.capturePlans = false
     import scala.jdk.CollectionConverters._
     (graft.plans.GlobalRank.recentInnerPlans.asScala.toSeq :+ outer).mkString("\n")
   }

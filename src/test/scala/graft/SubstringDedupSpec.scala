@@ -45,22 +45,55 @@ class SubstringDedupSpec extends SparkSpec {
     // and costs recall in the prefilter
     val rnd = new scala.util.Random(42)
     val B = 0x100000001b3L
-    def brute(s: String, w: Int): Seq[Long] =
-      (0 to s.length - w).map { k =>
+    // brute over CODE POINTS, the unit SQL substr counts — the kernel
+    // must match it even when the string contains supplementary
+    // characters (2 UTF-16 units each)
+    def brute(cps: Array[Int], w: Int): Seq[Long] =
+      (0 to cps.length - w).map { k =>
         var h = 0L
-        (k until k + w).foreach(i => h = h * B + s.charAt(i))
+        (k until k + w).foreach(i => h = h * B + cps(i))
         h
       }
-    (0 until 200).foreach { _ =>
+    (0 until 200).foreach { t =>
       val n = 1 + rnd.nextInt(200)
       val w = 1 + rnd.nextInt(20)
-      val s = (0 until n).map(_ => (32 + rnd.nextInt(95)).toChar).mkString
+      // every third string mixes in astral-plane code points (emoji
+      // block) — the case a UTF-16-unit kernel mis-windows
+      val s = (0 until n).map { _ =>
+        if (t % 3 == 0 && rnd.nextInt(4) == 0)
+          new String(Character.toChars(0x1F400 + rnd.nextInt(128)))
+        else (32 + rnd.nextInt(95)).toChar.toString
+      }.mkString
+      val cps = s.codePoints().toArray
       val got = graft.functions.RollingHashKernel
         .compute(org.apache.spark.unsafe.types.UTF8String.fromString(s), w)
         .toLongArray().toSeq
-      val want = if (s.length >= w) brute(s, w) else Seq.empty
+      val want = if (cps.length >= w) brute(cps, w) else Seq.empty
       assert(got == want, s"rolling hash diverged for len=$n win=$w")
     }
+  }
+
+  test("rolling miner stays substr-aligned past supplementary characters") {
+    import spark.implicits._
+    val L = graft.queries.Extras100.SpanLen
+    // doc 1's unique prefix contains emoji (1 code point = 2 UTF-16
+    // units each): a UTF-16-unit kernel would report positions shifted
+    // by the number of preceding astral chars, the md5 exact-verify
+    // would extract the wrong span, and the planted duplicate would be
+    // lost — this is the regression the code-point kernel fix closes
+    val shared = ("aligned shared passage long enough to cover one full rolling " +
+      "window at any character alignment whatsoever").take(L + 2)
+    val docs = Seq(
+      (1L, "🦊🐉x" + shared + " tail one"),
+      (2L, "y" * 29 + shared + " other tail"),
+      (3L, "entirely unrelated filler text " + "z" * 120)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = Files.createTempDirectory("graft_cp_").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rolling = graft.queries.Extras100.dedupSubstringRolling(spark, dir).collect()
+    assert(rolling.nonEmpty, "duplicate behind an astral-char prefix not found")
+    assert(rolling.forall(_.getLong(3) != 3L))
   }
 
   test("rolling miner finds every alignment: planted mid-text duplicate invisible to the stride miner") {
