@@ -33,13 +33,21 @@ object Extras101 {
     * map-side combinable — O(|E|) per round, no driver-side graph
     * state; the edge frame is pinned once (multi-round consumer, the
     * GlobalRank lesson) so the corpus scan runs once, not per round.
-    * Isolated nodes (impossible under this rule, but the plan should
-    * not know that) keep their label via the left join + coalesce.
+    * Each node casts ONE SELF-VOTE alongside its neighbor votes — the
+    * standard stabilizer for synchronous LPA, which otherwise
+    * oscillates on near-bipartite neighborhoods (measured on this
+    * graph: neighbor-only voting left 0 intra-community edges after 4
+    * rounds); the self-vote also keeps isolated nodes present, so no
+    * outer-join special case exists.
     * Output is the per-community rollup — communities, sizes, id
     * ranges — not the n-row label table, because that's what a corpus
     * curator actually reads.
     */
-  def graphLabelPropagation(s: SparkSession, d: String): DataFrame = {
+  /** The symmetrized, self-loop-free rule graph over the event users —
+    * shared by LPA and the modularity row. Pinned: multi-round/multi-
+    * consumer frame.
+    */
+  private[graft] def lpaEdges(s: SparkSession, d: String): DataFrame = {
     val users = events(s, d).select(col("user_id")).distinct()
       .localCheckpoint(true)
     val n = users.count()
@@ -48,30 +56,54 @@ object Extras101 {
         (col("user_id") * 7 + 3) % n,
         (col("user_id") * 13 + 11) % n,
         (col("user_id") * 29 + 17) % n)).as("dst"))
-    val edges = fwd
-      .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(true) // 4-round consumer: pin, don't recompute
+  }
+
+  /** Per-user final LPA label after [[LpaRounds]] synchronous rounds —
+    * the partition [[graphLabelPropagation]] rolls up and
+    * [[Extras104.graphModularityScore]] scores.
+    */
+  private[graft] def lpaLabels(s: SparkSession, d: String): DataFrame = {
+    val users = events(s, d).select(col("user_id")).distinct()
+    val edges = lpaEdges(s, d)
     var lab = users.select(col("user_id"), col("user_id").as("lbl"))
     for (_ <- 1 to LpaRounds) {
-      val win = edges
+      // neighbor votes + ONE SELF-VOTE: pure neighbor-only synchronous
+      // LPA oscillates on near-bipartite neighborhoods (labels swap
+      // every round — measured: 0 intra-community edges after 4 rounds
+      // on this graph); the self-vote is the standard stabilizer and
+      // keeps every node present, so the aggregation alone covers
+      // isolated nodes too
+      val votes = edges
         .join(lab.select(col("user_id").as("src"), col("lbl")), "src")
-        .groupBy(col("dst"), col("lbl"))
+        .select(col("dst").as("user_id"), col("lbl"))
+        .unionAll(lab)
+      lab = votes
+        .groupBy(col("user_id"), col("lbl"))
         .agg(count(lit(1)).as("c"))
-        .groupBy("dst")
+        .groupBy("user_id")
         .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("m"))
-        .select(col("dst").as("user_id"), col("m.l").as("wlbl"))
-      lab = lab.join(win, Seq("user_id"), "left")
-        .select(col("user_id"), coalesce(col("wlbl"), col("lbl")).as("lbl"))
+        .select(col("user_id"), col("m.l").as("lbl"))
     }
-    lab.groupBy(col("lbl").as("community"))
+    lab
+  }
+
+  def graphLabelPropagation(s: SparkSession, d: String): DataFrame =
+    lpaLabels(s, d).groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_members"),
         min(col("user_id")).as("min_user"),
         max(col("user_id")).as("max_user"))
       .orderBy("community")
-  }
-  val graphLabelPropagationSql: String = {
+
+  /** The WITH-prefix producing `edges` and the final label table
+    * `l{LpaRounds}` — shared verbatim by the LPA oracle and the
+    * modularity oracle (Extras104) so the two engines can never score
+    * different partitions.
+    */
+  private[graft] val lpaCtePrefix: String = {
     val base =
       """WITH users AS (SELECT DISTINCT user_id FROM events),
         |n AS (SELECT count(*) AS n FROM users),
@@ -92,25 +124,25 @@ object Extras101 {
         |l0 AS (SELECT user_id, user_id AS lbl FROM users)""".stripMargin
     val iters = (1 to LpaRounds).map { i =>
       s"""c$i AS (
-         |  SELECT e.dst AS user_id, p.lbl, count(*) AS c
-         |  FROM edges e JOIN l${i - 1} p ON p.user_id = e.src
-         |  GROUP BY e.dst, p.lbl),
-         |w$i AS (
+         |  SELECT user_id, lbl, count(*) AS c FROM (
+         |    SELECT e.dst AS user_id, p.lbl
+         |    FROM edges e JOIN l${i - 1} p ON p.user_id = e.src
+         |    UNION ALL SELECT user_id, lbl FROM l${i - 1}) v
+         |  GROUP BY user_id, lbl),
+         |l$i AS (
          |  SELECT user_id, lbl FROM (
          |    SELECT user_id, lbl,
          |      row_number() OVER (PARTITION BY user_id
          |        ORDER BY c DESC, lbl ASC) AS rn
-         |    FROM c$i) x WHERE rn = 1),
-         |l$i AS (
-         |  SELECT p.user_id, coalesce(w.lbl, p.lbl) AS lbl
-         |  FROM l${i - 1} p LEFT JOIN w$i w ON w.user_id = p.user_id)""".stripMargin
+         |    FROM c$i) x WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""$base,
-       |$iters
+    s"$base,\n$iters"
+  }
+  val graphLabelPropagationSql: String =
+    s"""$lpaCtePrefix
        |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
        |  min(user_id) AS min_user, max(user_id) AS max_user
        |FROM l$LpaRounds GROUP BY 1 ORDER BY community""".stripMargin
-  }
 
   /** Constant probe budget for [[embedMatryoshkaEval]] — corpus-size
     * independent (the Extras98 lesson: a probe set that is a corpus
