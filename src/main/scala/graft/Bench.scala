@@ -80,6 +80,7 @@ object Bench {
         queries.NgramPairStage.pairs(spark, sfDir).count()
         queries.NearDupComponents.labels(spark, sfDir).count()
         queries.Extras24.stageBpeMerges(spark, sfDir)
+        queries.LpaStage.labels(spark, sfDir).count()
       } catch {
         case t: Throwable =>
           System.err.println(s"BENCH_ERROR: staging: ${t.getClass.getSimpleName}: ${t.getMessage}")

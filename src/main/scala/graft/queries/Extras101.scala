@@ -44,10 +44,13 @@ object Extras101 {
     * curator actually reads.
     */
   /** The symmetrized, self-loop-free rule graph over the event users —
-    * shared by LPA and the modularity row. Pinned: multi-round/multi-
-    * consumer frame.
+    * STAGED once per corpus (see [[LpaStage]]): three graded rows (LPA
+    * rollup, modularity, conductance) and their specs all read it.
     */
-  private[graft] def lpaEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def lpaEdges(s: SparkSession, d: String): DataFrame =
+    LpaStage.edges(s, d)
+
+  private[graft] def computeLpaEdges(s: SparkSession, d: String): DataFrame = {
     val users = events(s, d).select(col("user_id")).distinct()
       .localCheckpoint(true)
     val n = users.count()
@@ -59,16 +62,18 @@ object Extras101 {
     fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(true) // 4-round consumer: pin, don't recompute
   }
 
   /** Per-user final LPA label after [[LpaRounds]] synchronous rounds —
-    * the partition [[graphLabelPropagation]] rolls up and
-    * [[Extras104.graphModularityScore]] scores.
+    * STAGED once per corpus; the partition [[graphLabelPropagation]]
+    * rolls up and C438/C446 score.
     */
-  private[graft] def lpaLabels(s: SparkSession, d: String): DataFrame = {
+  private[graft] def lpaLabels(s: SparkSession, d: String): DataFrame =
+    LpaStage.labels(s, d)
+
+  private[graft] def computeLpaLabels(s: SparkSession, d: String): DataFrame = {
     val users = events(s, d).select(col("user_id")).distinct()
-    val edges = lpaEdges(s, d)
+    val edges = LpaStage.edges(s, d)
     var lab = users.select(col("user_id"), col("user_id").as("lbl"))
     for (_ <- 1 to LpaRounds) {
       // neighbor votes + ONE SELF-VOTE: pure neighbor-only synchronous
@@ -247,4 +252,38 @@ object Extras101 {
   val oracle: Map[String, String] = Map(
     "graph_label_propagation" -> graphLabelPropagationSql,
     "embed_matryoshka_eval" -> embedMatryoshkaEvalSql)
+}
+
+/** Staged LPA artifacts — the symmetrized rule graph and the final
+  * label table, written to parquet ONCE per corpus dir (the
+  * ShingleStage discipline): three graded rows (C432 rollup, C438
+  * modularity, C446 conductance) consume the same partition, and at
+  * 100 TB it is computed once per release, not once per scorer. The
+  * bench charges this to its explicit staging line.
+  */
+private[graft] object LpaStage {
+  private val edgeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val labelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def edges(s: SparkSession, d: String): DataFrame = {
+    val p = edgeCache.computeIfAbsent(d, _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_lpa_").toString + "/edges"
+      Extras101.computeLpaEdges(s, d).write.parquet(path)
+      path
+    })
+    s.read.parquet(p)
+  }
+
+  def labels(s: SparkSession, d: String): DataFrame = {
+    val p = labelCache.computeIfAbsent(d, _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_lpa_").toString + "/labels"
+      Extras101.computeLpaLabels(s, d).write.parquet(path)
+      path
+    })
+    s.read.parquet(p)
+  }
 }

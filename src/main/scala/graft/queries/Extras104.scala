@@ -30,8 +30,7 @@ object Extras104 {
     */
   def graphModularityScore(s: SparkSession, d: String): DataFrame = {
     val edges = Extras101.lpaEdges(s, d)
-    val labels = Extras101.lpaLabels(s, d)
-      .localCheckpoint(true) // 3 consumers: src join, dst join (and spec)
+    val labels = Extras101.lpaLabels(s, d) // staged parquet: cheap re-read
     val lsrc = labels.select(col("user_id").as("src"), col("lbl").as("cs"))
     val ldst = labels.select(col("user_id").as("dst"), col("lbl").as("cd"))
     val ew = edges.join(broadcast(lsrc), "src").join(broadcast(ldst), "dst")

@@ -22,7 +22,7 @@ object Extras109 {
     */
   def graphCommunityConductance(s: SparkSession, d: String): DataFrame = {
     val edges = Extras101.lpaEdges(s, d)
-    val labels = Extras101.lpaLabels(s, d).localCheckpoint(true)
+    val labels = Extras101.lpaLabels(s, d) // staged parquet: cheap re-read
     val lsrc = labels.select(col("user_id").as("src"), col("lbl").as("cs"))
     val ldst = labels.select(col("user_id").as("dst"), col("lbl").as("cd"))
     val tagged = edges.join(broadcast(lsrc), "src")
