@@ -29,7 +29,12 @@ object Extras108 {
     * three-row scheme table (float row = built-in sanity: recall 1).
     * O(P·n·d) with constant P; corpus arrays never shuffle.
     */
-  def embedQuantizationRecall(s: SparkSession, d: String): DataFrame = {
+  /** The corpus-scan stage of [[embedQuantizationRecall]] — all three
+    * scheme sims per (probe, corpus) pair in one pass. Exposed
+    * un-checkpointed so Extras108Spec can assert the broadcast-only
+    * plan (the Extras101.embedMatryoshkaTop pattern).
+    */
+  def embedQuantizationScored(s: SparkSession, d: String): DataFrame = {
     graft.functions.FloatVecDot.register(s)
     def dot(a: String, b: String) =
       expr(s"${graft.functions.FloatVecDot.name}($a, $b)")
@@ -46,7 +51,7 @@ object Extras108 {
     val e = embeddings(s, d)
     val corpus = rep(e, "tid", "t")
     val probes = rep(e.filter(col("vec_id") < QuantProbeBudget), "qid", "p")
-    val scored = corpus.join(broadcast(probes), col("tid") =!= col("qid"))
+    corpus.join(broadcast(probes), col("tid") =!= col("qid"))
       .select(col("qid"), col("tid"),
         round(dot("pemb", "temb"), 6).as("fsim"),
         dot("pq8", "tq8").cast("long").as("qsim"),
@@ -60,6 +65,10 @@ object Extras108 {
           .as("sv"))
       .select(col("qid"), col("tid"), col("sv.scheme").as("scheme"),
         col("sv.simd").as("simd"))
+  }
+
+  def embedQuantizationRecall(s: SparkSession, d: String): DataFrame = {
+    val scored = embedQuantizationScored(s, d)
       .localCheckpoint(true) // 2 consumers: truth + per-scheme retrieval
     val w = Window.partitionBy("qid", "scheme")
       .orderBy(col("simd").desc, col("tid").asc)

@@ -17,4 +17,13 @@ class Extras108Spec extends SparkSpec {
       s"8-bit retrieval (${m("int8")._2}) should not trail " +
         s"1-bit (${m("binary")._2})")
   }
+
+  test("embed_quantization_recall scored stage broadcasts probes; corpus never shuffles") {
+    val plan = queries.Extras108.embedQuantizationScored(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "probe side must join as a broadcast nested loop")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      "corpus must not shuffle or cross-join")
+  }
 }
