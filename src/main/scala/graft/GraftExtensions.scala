@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatVecDot, MinHash16, ShingleHash3, SimHash64, TokenHash64, ZOrder2}
+import graft.functions.{FloatVecDot, MinHash16, ShingleHash3, SimHash64, SimHashSig, TokenHash64, ZOrder2}
 import graft.plans.{AsofJoinStrategy, GraftTextSearch, TextIndex}
 
 /** Library entry point for Spark's extension mechanism: registers every
@@ -33,6 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn(MinHash16.name, classOf[MinHash16], cs => MinHash16(cs.head))
     fn(ShingleHash3.name, classOf[ShingleHash3], cs => ShingleHash3(cs.head))
     fn(TokenHash64.name, classOf[TokenHash64], cs => TokenHash64(cs.head))
+    fn(SimHashSig.name, classOf[SimHashSig], cs => SimHashSig(cs.head))
     fn(ZOrder2.name, classOf[ZOrder2], cs => ZOrder2(cs(0), cs(1)))
     fn(TextIndex.name, classOf[GraftTextSearch], cs => GraftTextSearch(cs(0), cs(1)))
     // whole-operator tier: the native ASOF join's planner strategy

@@ -104,8 +104,17 @@ object DedupExtras {
     * `NearDupComponents` (cc/keep-list) both read the staged result, so
     * the pair mining executes once per corpus, not once per consumer.
     */
-  private[graft] def mineNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val (sh, prefix) = ngramShinglesAndPrefix(s, d)
+  private[graft] def mineNgramJaccard(s: SparkSession, d: String): DataFrame =
+    mineNgramJaccardAt(s, d, 6, 10)
+
+  /** Threshold-generalized prefix-filter miner (exact for ANY num/den
+    * threshold by the Bayardo prefix theorem). num/den = 6/10 backs the
+    * graded C5 row; 5/10 is the spec's independent ground truth for
+    * B41's MinHash banding (SketchSpec asserts banded == exact).
+    */
+  private[graft] def mineNgramJaccardAt(s: SparkSession, d: String,
+      num: Int, den: Int): DataFrame = {
+    val (sh, prefix) = ngramShinglesAndPrefix(s, d, num, den)
     val sizes = ShingleStage.sizes(s, d)
     val cand = prefix.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(prefix.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
@@ -122,7 +131,7 @@ object DedupExtras {
       .select(col("doc_a"), col("doc_b"),
         (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
           .as("jaccard"))
-      .filter(col("jaccard") >= 0.6)
+      .filter(col("jaccard") >= lit(num.toDouble / den))
   }
 
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
@@ -143,23 +152,27 @@ object DedupExtras {
       |    / len(list_distinct(list_concat(a.g, b.g))) >= 0.6
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** dedup_simhash — 64-bit SimHash near-dup candidates. Per doc: each
-    * token votes ±1 on each bit of its xxhash64; the sign vector packs
-    * into one long. Candidates come from an equi-join on 16-bit
-    * signature bands (hamming ≤ 3 ⇒ at least one of 4 bands matches),
-    * then exact hamming ≤ 3 filters. No DuckDB oracle (engine-specific
-    * hash); scalatest plants shuffled near-copies.
+  /** dedup_simhash — 64-bit SimHash near-dup pairs (hamming ≤ 3), now
+    * DuckDB-ORACLED: the signature comes from the cross-engine-
+    * reproducible [[graft.functions.SimHashSig]] (plain modular
+    * arithmetic per token — no xxhash64), so the definitional all-pairs
+    * form is expressible in SQL and the driver grades the full output.
+    *
+    * Candidates come from an equi-join on 16-bit signature bands, which
+    * is EXACT for this predicate (pigeonhole: ≤3 differing bits can
+    * touch at most 3 of the 4 bands, so some band matches verbatim) —
+    * the banded route provably equals the n² form while shuffling on
+    * the band key, the shape that survives 100 TB. The oracle computes
+    * the signature definitionally per doc (two 32-bit halves) and joins
+    * all pairs — fine at the sf0.01 gate, ground truth only.
     */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    graft.functions.TokenHash64.register(s)
-    graft.functions.SimHash64.register(s)
+    graft.functions.SimHashSig.register(s)
     val sigs = documents(s, d)
-      // distinct per-token hashes in one codegen'd byte pass
-      // (TokenHash64), then the 64-bit vote loop (SimHash64) — the
-      // whole signature fuses into the scan stage; the interpreted
-      // split/distinct/transform chain this replaced was the cost
-      .withColumn("hs", expr(s"${graft.functions.TokenHash64.name}(text)"))
-      .withColumn("sig", expr(s"${graft.functions.SimHash64.name}(hs)"))
+      // the whole signature (token split, string de-dup, tid fold, two
+      // 32-bit avalanches, 64-channel vote) fuses into the scan stage
+      // as one codegen'd kernel call per row
+      .withColumn("sig", expr(s"${graft.functions.SimHashSig.name}(text)"))
       .select(col("doc_id"), col("sig"))
     val bands = sigs.select(
       col("doc_id"), col("sig"),
@@ -174,11 +187,60 @@ object DedupExtras {
     a.join(b, Seq("band_idx", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** The [[graft.functions.SimHashSigKernel]] definition replayed in
+    * DuckDB SQL: per-token tid fold → two xorshift-multiply 32-bit
+    * hashes (every intermediate < 2^59, BIGINT-safe) → 64 vote channels
+    * → signature as two 32-bit halves → all-pairs hamming via
+    * bit_count(xor(...)). Packing order differs from the Spark long,
+    * which is irrelevant: hamming only needs the same channel set.
+    */
+  val dedupSimhashSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      |  FROM documents),
+      |tids AS (
+      |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(generate_series(1, len(tok)),
+      |        i -> CAST(unicode(tok[i:i]) AS BIGINT))),
+      |    (acc, c) -> (acc * 31 + c) % 1000000007) AS tid
+      |  FROM toks),
+      |hs AS (
+      |  SELECT doc_id, xor(a4, a4 // 65536) AS h1, xor(b4, b4 // 65536) AS h2 FROM (
+      |    SELECT doc_id, (a3 * 73244475) % 4294967296 AS a4,
+      |                   (b3 * 73244475) % 4294967296 AS b4 FROM (
+      |      SELECT doc_id, xor(a2, a2 // 65536) AS a3, xor(b2, b2 // 65536) AS b3 FROM (
+      |        SELECT doc_id, (a1 * 73244475) % 4294967296 AS a2,
+      |                       (b1 * 73244475) % 4294967296 AS b2 FROM (
+      |          SELECT doc_id, xor(tid, tid // 65536) AS a1,
+      |                 xor(tid + 1000000007, (tid + 1000000007) // 65536) AS b1
+      |          FROM tids))))),
+      |votes AS (
+      |  SELECT doc_id, bb.b AS bit_pos,
+      |    sum(CASE WHEN (CASE WHEN bb.b < 32
+      |                        THEN (h1 // (CAST(1 AS BIGINT) << bb.b)) % 2
+      |                        ELSE (h2 // (CAST(1 AS BIGINT) << (bb.b - 32))) % 2 END) = 1
+      |        THEN 1 ELSE -1 END) AS v
+      |  FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bb
+      |  GROUP BY doc_id, bb.b),
+      |sigs AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN bit_pos >= 32 AND v > 0
+      |      THEN (CAST(1 AS BIGINT) << (bit_pos - 32)) ELSE 0 END) AS BIGINT) AS hi,
+      |    CAST(sum(CASE WHEN bit_pos < 32 AND v > 0
+      |      THEN (CAST(1 AS BIGINT) << bit_pos) ELSE 0 END) AS BIGINT) AS lo
+      |  FROM votes GROUP BY doc_id),
+      |ham AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+      |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   /** dedup_embed_cosine — embedding near-duplicate pairs: cosine
     * (= dot, L2-normalized) ≥ 0.4, routed through IVF candidates.
@@ -272,9 +334,11 @@ object DedupExtras {
     * centroids); every vector is assigned to its nearest cell
     * (inverted lists); each probe searches only its nprobe=4 nearest
     * cells. At 100 TB the assignment is one broadcast-join scan and
-    * each query touches ~nprobe/ncells of the corpus. Deterministic
-    * but kept oracle-free; scalatest measures recall vs the exact B42
-    * top-k and checks candidates are ranked by exact similarity.
+    * each query touches ~nprobe/ncells of the corpus. Approximate vs
+    * brute force but fully DETERMINISTIC — so since r9 the whole
+    * pipeline is mirrored in DuckDB SQL and driver-graded end to end
+    * (the dot is bit-identical via [[graft.functions.FloatVecDot]]);
+    * scalatest additionally measures recall vs the exact B42 top-k.
     */
   def simTopkIvf(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
@@ -309,9 +373,46 @@ object DedupExtras {
       .select(col("probe_id"), col("vec_id"),
         round(dotD(s, "probe_emb", "embedding"), 6).as("sim"))
       .distinct()
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 5)
       .orderBy("probe_id", "rn")
+  }
+
+  /** Full deterministic DuckDB mirror of [[simTopkIvf]]: same fixed
+    * centroids, same argmax cell assignment (raw-double dot, ties to
+    * the lower cent_id), same nprobe=4 probe cells, same exact re-rank.
+    */
+  val simTopkIvfSql: String = {
+    def dd(a: String, b: String): String =
+      s"""list_reduce(list_transform(generate_series(1, 64),
+         |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
+         |      (x, y) -> x + y)""".stripMargin
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cent_emb
+       |  FROM embeddings WHERE vec_id < 16),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dd("e.embedding", "c.cent_emb")} DESC, c.cent_id ASC) AS arn
+       |    FROM embeddings e CROSS JOIN cents c) WHERE arn = 1),
+       |probecells AS (
+       |  SELECT probe_id, probe_emb, cell FROM (
+       |    SELECT p.vec_id AS probe_id, p.embedding AS probe_emb, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY p.vec_id
+       |        ORDER BY ${dd("p.embedding", "c.cent_emb")} DESC, c.cent_id ASC) AS crn
+       |    FROM embeddings p CROSS JOIN cents c WHERE p.vec_id < 10) WHERE crn <= 4),
+       |cand AS (
+       |  SELECT DISTINCT pc.probe_id, a.vec_id,
+       |    round(${dd("pc.probe_emb", "a.embedding")}, 6) AS sim
+       |  FROM probecells pc JOIN assigned a
+       |    ON pc.cell = a.cell AND a.vec_id <> pc.probe_id)
+       |SELECT probe_id, vec_id, sim, rn FROM (
+       |  SELECT probe_id, vec_id, sim,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY sim DESC, vec_id ASC) AS rn
+       |  FROM cand) WHERE rn <= 5
+       |ORDER BY probe_id, rn""".stripMargin
   }
 
   /** sim_topk_lsh — the LSH-bucketed ANN beside [[simTopkIvf]]: each
@@ -329,9 +430,10 @@ object DedupExtras {
     * (MEASURED) — nearly 75° apart — so bands must be 4 bits wide for
     * useful recall and pruning is weak. At the similarities real
     * dedup/retrieval targets (≥ 0.8, bit-agreement ≈ 0.86), the same
-    * structure prunes sharply with wider bands. Deterministic but
-    * structurally approximate → no oracle; SketchSpec measures recall
-    * vs the exact B42 top-k and checks per-probe ordering.
+    * structure prunes sharply with wider bands. Approximate vs brute
+    * force but fully DETERMINISTIC (sign bits + exact dot), so since
+    * r9 the whole pipeline is mirrored in DuckDB SQL and driver-graded;
+    * SketchSpec additionally measures recall vs the exact B42 top-k.
     */
   def simTopkLsh(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
@@ -355,9 +457,41 @@ object DedupExtras {
       .select(col("probe_id"), col("vec_id"),
         round(dotD(s, "probe_emb", "embedding"), 6).as("sim"))
       .distinct()
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 5)
       .orderBy("probe_id", "rn")
+  }
+
+  /** Full deterministic DuckDB mirror of [[simTopkLsh]]: band values
+    * computed directly from the embedding sign bits (band j's 4-bit
+    * value = Σ_k [emb[4j+k+1] ≥ 0]·2^k — identical to extracting bits
+    * 4j..4j+3 of the packed Spark signature), then the same band
+    * equi-join + exact re-rank.
+    */
+  val simTopkLshSql: String = {
+    def dd(a: String, b: String): String =
+      s"""list_reduce(list_transform(generate_series(1, 64),
+         |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
+         |      (x, y) -> x + y)""".stripMargin
+    s"""WITH b AS (
+       |  SELECT e.vec_id, e.embedding, js.bidx AS band_idx,
+       |        (CASE WHEN e.embedding[4 * js.bidx + 1] >= 0 THEN 1 ELSE 0 END)
+       |    + 2 * (CASE WHEN e.embedding[4 * js.bidx + 2] >= 0 THEN 1 ELSE 0 END)
+       |    + 4 * (CASE WHEN e.embedding[4 * js.bidx + 3] >= 0 THEN 1 ELSE 0 END)
+       |    + 8 * (CASE WHEN e.embedding[4 * js.bidx + 4] >= 0 THEN 1 ELSE 0 END) AS band_val
+       |  FROM embeddings e
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bidx) js),
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id,
+       |    round(${dd("p.embedding", "c.embedding")}, 6) AS sim
+       |  FROM b p JOIN b c ON p.band_idx = c.band_idx AND p.band_val = c.band_val
+       |    AND p.vec_id < 10 AND c.vec_id <> p.vec_id)
+       |SELECT probe_id, vec_id, sim, rn FROM (
+       |  SELECT probe_id, vec_id, sim,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY sim DESC, vec_id ASC) AS rn
+       |  FROM cand) WHERE rn <= 5
+       |ORDER BY probe_id, rn""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -370,9 +504,10 @@ object DedupExtras {
 
   val oracle: Map[String, String] = Map(
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
-    // dedup_simhash, sim_topk_ivf: no oracle — engine-specific hashing /
-    // approximate structure; scalatest covers behavior + recall.
+    "dedup_simhash" -> dedupSimhashSql,
     "dedup_embed_cosine" -> dedupEmbedCosineSql,
+    "sim_topk_ivf" -> simTopkIvfSql,
+    "sim_topk_lsh" -> simTopkLshSql,
   )
 }
 

@@ -54,10 +54,18 @@ object LlmOps {
       |  min(doc_id) AS keep_doc_id
       |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin
 
-  /** B41 dedup_minhash_near — near-duplicate candidate pairs via
-    * MinHash + LSH banding, verified with exact shingle Jaccard.
-    * No DuckDB oracle (hash functions are engine-specific); the
-    * scalatest suite plants near-duplicates and asserts they surface.
+  /** B41 dedup_minhash_near — near-duplicate pairs via MinHash + LSH
+    * banding candidates, verified with exact shingle Jaccard ≥ 0.5.
+    * Because every emitted pair is EXACT-verified, the output is
+    * SQL-expressible: since r9 the driver grades it against DuckDB's
+    * definitional all-pairs Jaccard (the quadratic-oracle convention
+    * dedup_embed_cosine established). The oracle pass certifies banding
+    * recall = 100% on the gate corpus (every true pair there has
+    * J ≥ 0.9, where 8×2 banding misses with p ≈ 1.7e-6); recall on
+    * other corpora is governed by 1−(1−J²)^8 and is additionally
+    * asserted equal to the provably-exact prefix-filter route in
+    * SketchSpec. The MinHash/banding structure is the point at 100 TB:
+    * candidates come from an equi-join on band keys, never n² pairs.
     *
     * Pipeline (all narrow until the band-key join):
     *  1. per-doc distinct 3-token shingle hashes — ONE codegen'd pass
@@ -66,7 +74,9 @@ object LlmOps {
     *     the whole query's cost, ~15 s for 500 docs);
     *  2. 16 minhashes over the shingle hashes (codegen'd min loop,
     *     [[graft.functions.MinHash16]]);
-    *  3. 4 LSH bands × 4 rows → band key = concat(band idx, 4 sig values);
+    *  3. 8 LSH bands × 2 rows → band key = concat(band idx, 2 sig
+    *     values) — widened from 4×4 in r9: at the J ≥ 0.9 the corpus'
+    *     true pairs sit at, P(miss) drops from 1.4e-2 to 1.7e-6;
     *  4. equi-join on band key (a < b) → candidate pairs;
     *  5. exact Jaccard on the two shingle-hash sets, keep ≥ 0.5
     *     (64-bit hashes: set identity ≡ string-shingle identity).
@@ -82,10 +92,9 @@ object LlmOps {
     val bands = sigs.select(
       col("doc_id"),
       explode(expr(
-        """transform(sequence(0, 3),
+        """transform(sequence(0, 7),
           |  b -> concat_ws('|', cast(b AS STRING),
-          |    cast(sig[b*4] AS STRING), cast(sig[b*4+1] AS STRING),
-          |    cast(sig[b*4+2] AS STRING), cast(sig[b*4+3] AS STRING)))""".stripMargin)).as("band_key"))
+          |    cast(sig[b*2] AS STRING), cast(sig[b*2+1] AS STRING)))""".stripMargin)).as("band_key"))
     // candidate ids first (a pair colliding in k bands appears k times —
     // dedupe BEFORE touching the shingle arrays), then join the shingle
     // sets back and compute the exact Jaccard once per pair
@@ -198,9 +207,30 @@ object LlmOps {
     "multimodal_join" -> (multimodalJoin _),
   )
 
+  /** Definitional all-pairs ground truth for B41: exact string-shingle
+    * Jaccard ≥ 0.5 over every doc pair — the same independent
+    * formulation (and threshold-shifted SQL) as dedup_ngram_jaccard's
+    * green oracle. Matching it certifies both the exact-verify stage
+    * and 100% banding recall on the gate corpus.
+    */
+  val dedupMinhashNearSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+      |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS g
+      |  FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.g, b.g))) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(a.g, b.g))) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
-    // dedup_minhash_near: no oracle — engine-specific hashes; scalatest plants dups
+    "dedup_minhash_near" -> dedupMinhashNearSql,
     "sim_topk_cosine" -> simTopkCosineSql,
     "text_token_stats" -> textTokenStatsSql,
     "text_lang_stats" -> textLangStatsSql,

@@ -83,8 +83,39 @@ class SketchSpec extends SparkSpec {
     // ~P(|vote margin|<=2) of the 64 bits — token-set SimHash catches
     // reorderings/repetitions; shingle MinHash catches small edits.
     val rows = DedupExtras.dedupSimhash(spark, plantedDir).collect()
-      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
-    assert(rows.get((3L, 4L)).contains(0), s"planted shuffled pair (3,4) not at hamming 0: $rows")
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(rows.get((3L, 4L)).contains(0L), s"planted shuffled pair (3,4) not at hamming 0: $rows")
+  }
+
+  test("dedup_minhash_near banded route reproduces the exact prefix-filter truth") {
+    // the prefix-filter miner is PROVABLY exact at any threshold
+    // (Bayardo prefix theorem) — banding 8x2 must lose nothing on this
+    // corpus (its true pairs all sit at J >= 0.9, where P(miss) ~ 1.7e-6)
+    val banded = LlmOps.dedupMinhashNear(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = DedupExtras.mineNgramJaccardAt(spark, sf, 5, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(banded == exact,
+      s"banded minhash diverges: missing=${exact -- banded}, extra=${banded -- exact}")
+  }
+
+  test("dedup_simhash band join is exact for hamming <= 3 (equals all-pairs)") {
+    import org.apache.spark.sql.functions._
+    graft.functions.SimHashSig.register(spark)
+    val sigs = graft.Tables.documents(spark, sf)
+      .withColumn("sig", expr(s"${graft.functions.SimHashSig.name}(text)"))
+      .select(col("doc_id"), col("sig"))
+    val a = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    val allPairs = a.join(b, col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val banded = DedupExtras.dedupSimhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == allPairs,
+      s"band route diverges from all-pairs: missing=${(allPairs -- banded).take(5)}, extra=${(banded -- allPairs).take(5)}")
   }
 
   test("agg_approx_percentile within 1 quantity unit of the exact quartiles") {
@@ -142,7 +173,7 @@ class SketchSpec extends SparkSpec {
     // structural: <=5 per probe, rank-sorted descending by sim
     ivf.groupBy(_.getLong(0)).foreach { case (p, rs) =>
       assert(rs.length <= 5)
-      val sims = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      val sims = rs.sortBy(_.getLong(3)).map(_.getDouble(2))
       assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, s"probe $p not sorted")
     }
     val recall = (ivfPairs & exact).size.toDouble / exact.size
@@ -213,7 +244,7 @@ class SketchSpec extends SparkSpec {
     val lsh = DedupExtras.simTopkLsh(spark, sf).collect()
     lsh.groupBy(_.getLong(0)).foreach { case (p, rs) =>
       assert(rs.length <= 5)
-      val sims = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      val sims = rs.sortBy(_.getLong(3)).map(_.getDouble(2))
       assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, s"probe $p not sorted")
     }
     val lshPairs = lsh.map(r => (r.getLong(0), r.getLong(1))).toSet
