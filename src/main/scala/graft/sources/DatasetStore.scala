@@ -46,8 +46,25 @@ class DatasetStore(spark: SparkSession, path: String, keyCol: String) {
       .split('\n').map(_.trim).filter(_.nonEmpty).toSeq
   }
 
+  /** Segments of main's AUTHORITATIVE current snapshot: resolved
+    * through the main-head pointer chain (cross-process monotone CAS —
+    * see [[appendAtomic]]), not through the CURRENT file. CURRENT is a
+    * best-effort cache for external tools: with concurrent appenders
+    * in SEPARATE PROCESSES, the last process to rewrite it can be a
+    * stale winner (the per-path lock that orders the rewrite is
+    * JVM-local), so a read that trusted CURRENT could transiently
+    * regress past another process's committed append. The head chain
+    * cannot regress by construction (generations are claimed with an
+    * exclusive link(2) CAS and never rewritten) — proven across forked
+    * JVMs by StoreMultiProcessSpec.
+    */
+  private def liveSegments(): Seq[String] = {
+    val head = mainHeadVersion()
+    if (head > 0 && manifestFile(head).exists) readManifest(head) else segments()
+  }
+
   def read(): DataFrame =
-    spark.read.parquet(segments().map(s => new File(root, s).toString): _*)
+    spark.read.parquet(liveSegments().map(s => new File(root, s).toString): _*)
 
   /** Read with parquet schema merging across segments — the
     * schema-evolution path: segments written after a column was added
@@ -56,7 +73,7 @@ class DatasetStore(spark: SparkSession, path: String, keyCol: String) {
     */
   def readMerged(): DataFrame =
     spark.read.option("mergeSchema", "true")
-      .parquet(segments().map(s => new File(root, s).toString): _*)
+      .parquet(liveSegments().map(s => new File(root, s).toString): _*)
 
   /** Time travel: read the store as of snapshot version `v` (from
     * [[versions]]). Possible because segments are immutable and every
@@ -258,11 +275,13 @@ class DatasetStore(spark: SparkSession, path: String, keyCol: String) {
     * another main writer advanced between 1 and 3 — our manifest was
     * built from a stale lineage and must not become the head; it stays
     * in the log as an orphaned (but valid, segment-retaining) snapshot
-    * and the loop rebuilds. CURRENT then advances under a per-path JVM
-    * lock to the main-head version — monotone, so a stale winner never
-    * regresses the pointer (cross-JVM deployments resolve CURRENT from
-    * the head chain the same way; every pointer and manifest file is
-    * complete-on-arrival).
+    * and the loop rebuilds. CURRENT is then rewritten (under a per-path
+    * JVM lock, re-resolving the head inside it) as a BEST-EFFORT CACHE
+    * for external tools — across separate OS processes the last
+    * rewriter can be stale, which is why [[read]] resolves through the
+    * head chain (monotone by construction: generations are exclusive
+    * links, never rewritten) rather than trusting CURRENT; every
+    * pointer and manifest file is complete-on-arrival.
     */
   def appendAtomic(df: DataFrame, maxRetries: Int = 50): Unit = {
     root.mkdirs()
