@@ -528,7 +528,7 @@ private[graft] object ShingleStage {
 
   private def stageDir(s: SparkSession, d: String): String =
     cache.computeIfAbsent(d, dir => {
-      val p = java.nio.file.Files.createTempDirectory("graft_shstage_").toString
+      val p = StageTmp.dir("graft_shstage_")
       val sh = DedupExtras.shingles(s, dir)
       sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh")).write.parquet(s"$p/sizes")
       sh.groupBy("shingle").agg(count(lit(1)).as("df")).write.parquet(s"$p/dfreq")
@@ -553,7 +553,7 @@ private[graft] object NgramPairStage {
 
   def pairs(s: SparkSession, d: String): DataFrame = {
     val path = cache.computeIfAbsent(d, dir => {
-      val p = java.nio.file.Files.createTempDirectory("graft_ngpairs_").toString + "/pairs"
+      val p = StageTmp.dir("graft_ngpairs_") + "/pairs"
       DedupExtras.mineNgramJaccard(s, dir).write.parquet(p)
       p
     })

@@ -269,8 +269,7 @@ private[graft] object LpaStage {
 
   def edges(s: SparkSession, d: String): DataFrame = {
     val p = edgeCache.computeIfAbsent(d, _ => {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_lpa_").toString + "/edges"
+      val path = StageTmp.dir("graft_lpa_") + "/edges"
       Extras101.computeLpaEdges(s, d).write.parquet(path)
       path
     })
@@ -279,8 +278,7 @@ private[graft] object LpaStage {
 
   def labels(s: SparkSession, d: String): DataFrame = {
     val p = labelCache.computeIfAbsent(d, _ => {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_lpa_").toString + "/labels"
+      val path = StageTmp.dir("graft_lpa_") + "/labels"
       Extras101.computeLpaLabels(s, d).write.parquet(path)
       path
     })

@@ -20,8 +20,7 @@ object Extras102 {
     */
   private[graft] def ivmStore(s: SparkSession, d: String): graft.sources.DatasetStore = {
     val path = ivmStores.computeIfAbsent(d, _ => {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_ivm_").toString + "/docs"
+      val p = StageTmp.dir("graft_ivm_") + "/docs"
       val st = new graft.sources.DatasetStore(s, p, "doc_id")
       val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"))
       st.init(docs.filter(col("doc_id") % 10 < 7))

@@ -28,19 +28,26 @@ object Extras109 {
     val tagged = edges.join(broadcast(lsrc), "src")
       .join(broadcast(ldst), "dst")
       .localCheckpoint(true) // 2 consumers: per-community stats + total m
-    val m2 = tagged.count() // = 2m (every undirected edge counted twice)
+    // m2 (= 2m, every undirected edge counted twice) as a ONE-ROW
+    // AGGREGATE crossJoined into the plan — the same shape as the
+    // oracle's m2 CTE. A driver-side count() baked in as a literal
+    // would both trigger a job at DataFrame-construction time and go
+    // silently stale if the staged edge artifact were rebuilt between
+    // plan construction and execution.
+    val m2df = tagged.agg(count(lit(1)).as("m2"))
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
     val stats = tagged.groupBy(col("cs").as("lbl"))
       .agg(count(lit(1)).as("volume"),
         sum(when(col("cs") =!= col("cd"), 1L).otherwise(0L)).as("cut"))
     stats.join(broadcast(sizes), "lbl")
+      .crossJoin(broadcast(m2df))
       .select(col("lbl").as("community"), col("n_members"),
         col("volume"), col("cut"),
         // nullif: when ONE community holds the whole graph (the dense
         // sf0.001 case) min(vol, 2m-vol) = 0 and 0/0 would be NaN with
         // engine-specific hash behavior; NULL is the honest "undefined"
         round(col("cut").cast("double")
-          / expr("nullif(least(volume, " + m2 + "L - volume), 0)")
+          / expr("nullif(least(volume, m2 - volume), 0)")
             .cast("double"), 6)
           .as("conductance"))
       .orderBy(col("n_members").desc, col("community").asc)

@@ -62,7 +62,7 @@ object Extras110 {
 
   /** analytics_rfm_migration — the customer-value TRANSITION MATRIX:
     * segment every customer by (order frequency × total spend) in the
-    * pre-1995 and post-1995 periods, then count every (from, to)
+    * pre-/post-RfmCutoff (1998-01-01) periods, then count every (from, to)
     * movement, with customers absent from a period entering as 'new'
     * or leaving as 'churned'. Spend sums use the exact-decimal cents
     * path (the C441 cast lesson); segments are absolute-edge labels so

@@ -41,9 +41,15 @@ object Extras27 {
         .groupBy("tag")
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
         .orderBy("tag")
-      // materialize under the scoped confs so AQE re-plans THIS run
-      out.cache().count()
-      out
+      // materialize under the scoped confs so AQE re-plans THIS run.
+      // The result is a bounded aggregate (one row per tag), so pin it
+      // as LOCAL ROWS rather than a cache() entry: callers executing
+      // the returned frame outside the conf scope still read the
+      // in-scope result, and a long-lived session has nothing to
+      // unpersist (r8 advice: the old cache lived until the next
+      // bench restart).
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema).orderBy("tag")
     } finally saved.foreach { case (k, v) =>
       v.fold(s.conf.unset(k))(s.conf.set(k, _))
     }

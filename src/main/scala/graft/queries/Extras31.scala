@@ -26,8 +26,12 @@ object Extras31 {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
         .orderBy("o_orderpriority")
-      out.cache().count() // materialize so AQE re-plans THIS run
-      out
+      // materialize so AQE re-plans THIS run; bounded aggregate (5
+      // priorities) pinned as local rows instead of a cache() entry —
+      // see joinSkewAqe for the rationale
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+        .orderBy("o_orderpriority")
     }
 
   /** Static broadcast off, ADAPTIVE broadcast on — the split that lets
