@@ -14,17 +14,39 @@ import org.apache.spark.sql.functions._
   * what makes measured scaling exponents meaningful (a linear operator
   * should measure ~linear; a pairwise blowup would measure ~quadratic).
   * region/nation are fixed dimensions and copy through unchanged.
-  * Text/embedding payloads repeat verbatim across copies — fine for
-  * timing (dedup families find 10× duplicates, which only exercises
-  * them harder).
   *
-  * Usage: ScaleUp <srcSfDir> <dstDir> <copies>
+  * Text payloads: by default they repeat verbatim across copies — fine
+  * for timing most rows, but it makes every document a `copies`-way
+  * exact near-duplicate, so PAIR-EMITTING text-dedup rows have a true
+  * answer quadratic in the copy factor and could not be exponent-
+  * measured on the fixture (r8 BASELINE caveat). `--noise-text` (v2)
+  * fixes that DETERMINISTICALLY: copy i > 0 suffixes every token with
+  * `~i`, which (a) keeps each copy's internal shingle/token structure
+  * exactly isomorphic to the source corpus — per-copy pair sets, df
+  * distributions and doc lengths (mod the suffix) are copy-invariant —
+  * and (b) makes cross-copy shingle/token sets DISJOINT, so Jaccard =
+  * containment = 0 and SimHash signatures decorrelate (P(hamming ≤ 3)
+  * ≈ 2e-15) across copies: the true pair count scales exactly ×copies,
+  * which is what a meaningful scaling exponent needs. n_chars is
+  * recomputed to stay consistent with the transformed text.
+  *
+  * Embedding payloads stay verbatim even under --noise-text: in d=64
+  * there is no copy-perturbation that preserves within-copy geometry
+  * while keeping 10× the vectors below a 0.4-cosine threshold —
+  * rotations/sign-flips make cross-copy dots ~N(0, 1/64), whose 0.4
+  * tail over ~1e9 cross pairs yields millions of true pairs (the
+  * threshold's own geometry, not an engine artifact). The
+  * embedding-pair rows keep their real-data sf0.01→0.1 measurement.
+  *
+  * Usage: ScaleUp <srcSfDir> <dstDir> <copies> [--noise-text]
   */
 object ScaleUp {
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleUp <srcSfDir> <dstDir> <copies>")
-    val Array(src, dst, copiesS) = args
+    require(args.length == 3 || args.length == 4,
+      "usage: ScaleUp <srcSfDir> <dstDir> <copies> [--noise-text]")
+    val Array(src, dst, copiesS) = args.take(3)
+    val noiseText = args.length == 4 && args(3) == "--noise-text"
     val copies = copiesS.toInt
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -52,15 +74,28 @@ object ScaleUp {
     val docVecBase = math.max(maxOf("documents", "doc_id"),
       maxOf("embeddings", "vec_id"))
 
-    /** Union of `copies` key-shifted images of the table. */
-    def up(table: String, shifts: Map[String, Long]): DataFrame = {
+    /** Union of `copies` key-shifted images of the table; `perCopy`
+      * applies any additional per-copy transform (the text noise).
+      */
+    def up(table: String, shifts: Map[String, Long],
+        perCopy: (DataFrame, Int) => DataFrame = (df, _) => df): DataFrame = {
       val base = spark.read.parquet(s"$src/$table.parquet")
       (0 until copies).map { i =>
-        shifts.foldLeft(base) { case (df, (c, b)) =>
+        perCopy(shifts.foldLeft(base) { case (df, (c, b)) =>
           df.withColumn(c, col(c) + lit(b * i))
-        }
+        }, i)
       }.reduce(_ unionByName _)
     }
+
+    /** Copy-i text noise: suffix every token with `~i` (copy 0 keeps
+      * the source corpus verbatim). Deterministic; see the scaladoc.
+      */
+    def noiseDoc(df: DataFrame, i: Int): DataFrame =
+      if (!noiseText || i == 0) df
+      else df
+        .withColumn("text", expr(
+          s"array_join(transform(split(text, ' '), t -> concat(t, '~$i')), ' ')"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
 
     /** Write as ONE parquet FILE at $dst/<name>.parquet — the driver
       * testdata layout. The streaming replay stager (`Streaming
@@ -92,7 +127,7 @@ object ScaleUp {
     write(up("lineitem", Map("l_orderkey" -> orderBase, "l_partkey" -> partBase,
       "l_suppkey" -> suppBase)), "lineitem")
     write(up("events", Map("event_id" -> eventBase, "user_id" -> custBase)), "events")
-    write(up("documents", Map("doc_id" -> docVecBase)), "documents")
+    write(up("documents", Map("doc_id" -> docVecBase), noiseDoc), "documents")
     write(up("embeddings", Map("vec_id" -> docVecBase)), "embeddings")
     spark.stop()
   }

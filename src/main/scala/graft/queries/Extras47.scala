@@ -147,22 +147,35 @@ object Extras47 {
     * resolution: single-key blocking misses pairs that disagree on
     * that key, so candidates union across independent blocking passes
     * (by brand, by size) and dedup before the expensive verify —
-    * standard ER practice when no single field is reliable. Exact
-    * name-prefix verify on the candidates; each pass is an equi-join,
-    * the union dedups on the pair key.
+    * standard ER practice when no single field is reliable.
+    *
+    * Scale shape (hardened in r9 after the noised-sf1 exponent
+    * measured +1.12): the verify predicate (8-char name prefix
+    * equality) is itself an EQUALITY, so it is pushed INTO the block
+    * key of every pass — candidates that would fail the verify never
+    * materialize and the output set is provably identical (the classic
+    * "move the cheap equality from verify into blocking" ER
+    * optimization; sf1 time fell 32.3 s → 24.5 s). The residual
+    * exponent (+1.04 on the 10× fixture) is the TRUE ANSWER's, not the
+    * plan's: brand (25 values) and name-prefix (a fixed color
+    * vocabulary) both have bounded cardinality on this schema, so the
+    * matching-pair count itself grows quadratically with the corpus —
+    * any engine must emit those rows. BASELINE.md documents this row
+    * in the true-answer-quadratic family. The oracle keeps the
+    * definitional block-then-verify SQL.
     */
   def dedupMultipassBlocking(s: SparkSession, d: String): DataFrame = {
     val p = part(s, d).select(col("p_partkey"), col("p_name"),
-      col("p_brand"), col("p_size"))
+      col("p_brand"), col("p_size"),
+      substring(col("p_name"), 1, 8).as("pfx"))
     def pass(key: String): DataFrame =
-      p.select(col(key).as("k"), col("p_partkey").as("id_a"), col("p_name").as("name_a"))
-        .join(p.select(col(key).as("k"), col("p_partkey").as("id_b"),
-          col("p_name").as("name_b")), "k")
+      p.select(col(key).as("k"), col("pfx"),
+          col("p_partkey").as("id_a"), col("p_name").as("name_a"))
+        .join(p.select(col(key).as("k"), col("pfx"),
+          col("p_partkey").as("id_b"), col("p_name").as("name_b")), Seq("k", "pfx"))
         .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b", "name_a", "name_b")
-    val cand = pass("p_brand").unionByName(pass("p_size")).distinct()
-    cand.filter(substring(col("name_a"), 1, 8) === substring(col("name_b"), 1, 8))
-      .select(col("id_a"), col("id_b"))
+        .select("id_a", "id_b")
+    pass("p_brand").unionByName(pass("p_size")).distinct()
       .orderBy("id_a", "id_b")
   }
   val dedupMultipassBlockingSql: String =
