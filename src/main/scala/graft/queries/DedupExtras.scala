@@ -200,7 +200,11 @@ object DedupExtras {
     * bit_count(xor(...)). Packing order differs from the Spark long,
     * which is irrelevant: hamming only needs the same channel set.
     */
-  val dedupSimhashSql: String =
+  /** The [[graft.functions.SimHashSigKernel]] definition as a reusable
+    * DuckDB CTE prefix ending in `sigs(doc_id, hi, lo)` — shared by the
+    * dedup_simhash oracle and the hamming-profile diagnostic row.
+    */
+  val simhashSigsCtePrefix: String =
     """WITH toks AS (
       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
       |  FROM documents),
@@ -234,7 +238,10 @@ object DedupExtras {
       |      THEN (CAST(1 AS BIGINT) << (bit_pos - 32)) ELSE 0 END) AS BIGINT) AS hi,
       |    CAST(sum(CASE WHEN bit_pos < 32 AND v > 0
       |      THEN (CAST(1 AS BIGINT) << bit_pos) ELSE 0 END) AS BIGINT) AS lo
-      |  FROM votes GROUP BY doc_id),
+      |  FROM votes GROUP BY doc_id)""".stripMargin
+
+  val dedupSimhashSql: String =
+    s"""$simhashSigsCtePrefix,
       |ham AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |    CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
