@@ -155,7 +155,9 @@ object PlanInvariantSpec {
     "sim_knn_join" -> "broadcast probe set is a declared corpus fraction (eval row; BASELINE sf1 exponent +0.81, linear by design)",
     "sim_topk_cosine" -> "broadcast side = 10 probe vectors (vec_id < 10, LlmOps.scala)",
     "sim_topk_ivf" -> "broadcast side = 16-row coarse quantizer (vec_id < 16, DedupExtras.scala)",
+    "dedup_band_width_sweep" -> "both sides = the FIXED 500-doc probe sample (doc_id < 500, Extras118.scala) - O(1) in the corpus",
     "dedup_simhash_hamming_profile" -> "both sides = the FIXED 500-doc probe sample (doc_id < 500, Extras117.scala) - O(1) in the corpus",
+    "sim_topk_margin" -> "broadcast side = 10 probe vectors (vec_id < 10, Extras118.scala)",
     "sort_cluster_minmax" -> "per-parquet-file min/max frame, rows = file count of the layout exhibit (Extras33.scala:70)",
     "stat_qq_deciles" -> "1x1 join of the two per-half decile-array rows (2-group agg then half filter, Extras76.scala:99-101)",
     "stat_welch_ttest" -> "1x1 join of the en/de per-lang moment rows (lang-grouped agg then filter, Extras55.scala:85-89)",
