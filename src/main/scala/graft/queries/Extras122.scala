@@ -102,10 +102,13 @@ object Extras122 {
       count(lit(1)).cast("long").as("n"),
       sum(col("c")).cast("decimal(38,0)").as("stot"),
       sum(expr("c * c")).cast("decimal(38,0)").as("ss"))
-    val ks = s.range(1, 11).toDF("lag")
+    // lags arrive by EXPLODING a literal array on the left side (a 10×
+    // generator, no join), so the lag-offset condition is a plain
+    // equi-join on (ra − lag) = rb — hash-joinable, never a BNLJ
     val a = daily.select(col("rn").as("ra"), col("c").as("ca"))
+      .withColumn("lag", explode(array((1L to 10L).map(lit): _*)))
     val b = daily.select(col("rn").as("rb"), col("c").as("cb"))
-    val pairs = a.crossJoin(broadcast(ks))
+    val pairs = a
       .join(b, col("rb") === col("ra") - col("lag"))
       .groupBy("lag")
       .agg(

@@ -145,13 +145,17 @@ object Extras123 {
     * the two-type subset.
     */
   def statCramerVonMises(s: SparkSession, d: String): DataFrame = {
-    val sub = events(s, d)
+    val base = events(s, d)
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("event_type"),
         expr("CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)").as("c"),
         col("event_id"))
-      .withColumn("r", row_number().over(
-        Window.orderBy("c", "event_id")).cast("long"))
+    // combined rank via the two-pass GlobalRank (range-partition +
+    // offset join) — a bare global window here would drag the full
+    // two-type event subset through ONE task at cluster scale
+    val sub = graft.plans.GlobalRank
+      .withGlobalRowNumber(base, "r", Seq(col("c"), col("event_id")))
+      .withColumn("r", col("r").cast("long"))
       .withColumn("i", row_number().over(
         Window.partitionBy("event_type").orderBy("c", "event_id")).cast("long"))
     sub.groupBy("event_type")
@@ -223,15 +227,17 @@ object Extras123 {
       .select("sa", "sb").distinct()
     val deg = proj.select(col("sa").as("v")).union(proj.select(col("sb").as("v")))
       .groupBy("v").agg(count(lit(1)).cast("long").as("deg"))
-    val ks = s.createDataFrame(Seq(Tuple1(2L), Tuple1(4L), Tuple1(8L),
-      Tuple1(16L), Tuple1(32L))).toDF("k")
-    val nk = deg.crossJoin(broadcast(ks))
+    // the k-sweep EXPLODES a 5-element literal array per row (a bounded
+    // generator) instead of cross-joining a broadcast k-list — same
+    // row multiplication, no nested-loop join in the plan
+    val kArr = array(Seq(2L, 4L, 8L, 16L, 32L).map(lit): _*)
+    val nk = deg.withColumn("k", explode(kArr))
       .filter(col("deg") > col("k"))
       .groupBy("k").agg(count(lit(1)).cast("long").as("n_k"))
     val ek = proj
       .join(deg.select(col("v").as("sa"), col("deg").as("da")), "sa")
       .join(deg.select(col("v").as("sb"), col("deg").as("db")), "sb")
-      .crossJoin(broadcast(ks))
+      .withColumn("k", explode(kArr))
       .filter(col("da") > col("k") && col("db") > col("k"))
       .groupBy("k").agg(count(lit(1)).cast("long").as("e_k"))
     nk.join(ek, Seq("k"), "left")
