@@ -30,7 +30,11 @@ object Extras121 {
       .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck")).distinct()
     val wdeg = edges
       .withColumn("cdeg", count(lit(1)).over(Window.partitionBy("ck")))
-      .filter(col("cdeg") <= Extras63.GraphHubCap)
+      // cdeg = 1 customers can never be common neighbors — dropping
+      // them changes nothing AND keeps ln(cdeg) away from ln(1) = 0
+      // (ANSI divide-by-zero, first seen at sf0.1 where degree-1
+      // customers exist)
+      .filter(col("cdeg") >= 2 && col("cdeg") <= Extras63.GraphHubCap)
       .withColumn("wfx",
         expr("CAST(floor(1e9 / ln(cdeg) + 0.5) AS BIGINT)"))
     val pairs = wdeg.select(col("sk").as("sa"), col("ck"), col("wfx"))
@@ -54,7 +58,7 @@ object Extras121 {
       |  SELECT sk, ck,
       |    CAST(floor(1e9 / ln(cdeg) + 0.5) AS BIGINT) AS wfx
       |  FROM (SELECT sk, ck, count(*) OVER (PARTITION BY ck) AS cdeg FROM e)
-      |  WHERE cdeg <= ${Extras63.GraphHubCap}),
+      |  WHERE cdeg >= 2 AND cdeg <= ${Extras63.GraphHubCap}),
       |pairs AS (
       |  SELECT a.sk AS sa, b.sk AS sb, CAST(sum(a.wfx) AS BIGINT) AS fx
       |  FROM wdeg a JOIN wdeg b ON a.ck = b.ck AND a.sk < b.sk
