@@ -81,6 +81,7 @@ object Bench {
         queries.NearDupComponents.labels(spark, sfDir).count()
         queries.Extras24.stageBpeMerges(spark, sfDir)
         queries.LpaStage.labels(spark, sfDir).count()
+        queries.CoPurchaseStage.pairStats(spark, sfDir).count()
       } catch {
         case t: Throwable =>
           System.err.println(s"BENCH_ERROR: staging: ${t.getClass.getSimpleName}: ${t.getMessage}")

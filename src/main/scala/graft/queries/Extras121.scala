@@ -24,24 +24,11 @@ object Extras121 {
     * any common neighbor, so ln(deg) > 0 always.
     */
   def graphAdamicAdar(s: SparkSession, d: String): DataFrame = {
-    val edges = lineitem(s, d).select(col("l_suppkey"), col("l_orderkey"))
-      .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck")).distinct()
-    val wdeg = edges
-      .withColumn("cdeg", count(lit(1)).over(Window.partitionBy("ck")))
-      // cdeg = 1 customers can never be common neighbors — dropping
-      // them changes nothing AND keeps ln(cdeg) away from ln(1) = 0
-      // (ANSI divide-by-zero, first seen at sf0.1 where degree-1
-      // customers exist)
-      .filter(col("cdeg") >= 2 && col("cdeg") <= Extras63.GraphHubCap)
-      .withColumn("wfx",
-        expr("CAST(floor(1e9 / ln(cdeg) + 0.5) AS BIGINT)"))
-    val pairs = wdeg.select(col("sk").as("sa"), col("ck"), col("wfx"))
-      .join(wdeg.select(col("sk").as("sb"), col("ck")), "ck")
-      .filter(col("sa") < col("sb"))
-      .groupBy("sa", "sb")
-      .agg(sum(col("wfx")).cast("long").as("fx"))
+    // the pair table (with the exact fixed-point weight sum, cdeg ≥ 2
+    // so ln never sees 1 — the sf0.1 ANSI divide-by-zero) comes from
+    // the shared once-per-corpus CoPurchaseStage (r9)
+    val pairs = CoPurchaseStage.pairStats(s, d)
+      .select(col("sa"), col("sb"), col("wfx_sum").as("fx"))
     pairs
       .withColumn("rn", row_number().over(
         Window.partitionBy("sa").orderBy(col("fx").desc, col("sb"))))

@@ -215,16 +215,9 @@ object Extras123 {
     * All exact ints; one IEEE φ per k.
     */
   def graphRichClub(s: SparkSession, d: String): DataFrame = {
-    val edges0 = lineitem(s, d).select(col("l_suppkey"), col("l_orderkey"))
-      .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck")).distinct()
-      .withColumn("cdeg", count(lit(1)).over(Window.partitionBy("ck")))
-      .filter(col("cdeg") <= Extras63.GraphHubCap)
-    val proj = edges0.select(col("sk").as("sa"), col("ck"))
-      .join(edges0.select(col("sk").as("sb"), col("ck")), "ck")
-      .filter(col("sa") < col("sb"))
-      .select("sa", "sb").distinct()
+    // distinct projection pairs come from the shared once-per-corpus
+    // CoPurchaseStage (r9) — identical pair set
+    val proj = CoPurchaseStage.pairStats(s, d).select("sa", "sb")
     val deg = proj.select(col("sa").as("v")).union(proj.select(col("sb").as("v")))
       .groupBy("v").agg(count(lit(1)).cast("long").as("deg"))
     // the k-sweep EXPLODES a 5-element literal array per row (a bounded

@@ -106,16 +106,9 @@ object Extras127 {
     * hub-capped shape of C291/C495; the mixing matrix is O(nations²).
     */
   def graphAttributeAssortativity(s: SparkSession, d: String): DataFrame = {
-    val edges0 = lineitem(s, d).select(col("l_suppkey"), col("l_orderkey"))
-      .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck")).distinct()
-      .withColumn("cdeg", count(lit(1)).over(Window.partitionBy("ck")))
-      .filter(col("cdeg") <= Extras63.GraphHubCap)
-    val proj = edges0.select(col("sk").as("sa"), col("ck"))
-      .join(edges0.select(col("sk").as("sb"), col("ck")), "ck")
-      .filter(col("sa") < col("sb"))
-      .select("sa", "sb").distinct()
+    // distinct projection pairs come from the shared once-per-corpus
+    // CoPurchaseStage (r9) — identical pair set
+    val proj = CoPurchaseStage.pairStats(s, d).select("sa", "sb")
     val nat = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
     val directed = proj
       .join(nat.select(col("s_suppkey").as("sa"), col("s_nationkey").as("na")), "sa")

@@ -99,20 +99,12 @@ object Extras63 {
     * text-shingle thresholds).
     */
   def graphNeighborJaccard(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val edges = lineitem(s, d).select(col("l_suppkey"), col("l_orderkey"))
-      .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck")).distinct()
-    val sizes = edges.groupBy("sk").agg(count(lit(1)).as("deg"))
-    val capped = edges
-      .withColumn("cdeg", count(lit(1)).over(Window.partitionBy("ck")))
-      .filter(col("cdeg") <= GraphHubCap).drop("cdeg")
-    val inter = capped.select(col("sk").as("sa"), col("ck"))
-      .join(capped.select(col("sk").as("sb"), col("ck")), "ck")
-      .filter(col("sa") < col("sb"))
-      .groupBy("sa", "sb").agg(count(lit(1)).as("n_inter"))
-    inter
+    // pair counts and degrees come from the shared once-per-corpus
+    // CoPurchaseStage (r9): four graph rows previously recomputed the
+    // same capped self-join; results are bit-identical (cdeg-1
+    // customers can't form a pair, and degrees stay uncapped)
+    val sizes = CoPurchaseStage.degrees(s, d)
+    CoPurchaseStage.pairStats(s, d)
       .join(sizes.select(col("sk").as("sa"), col("deg").as("da")), "sa")
       .join(sizes.select(col("sk").as("sb"), col("deg").as("db")), "sb")
       .select(col("sa"), col("sb"),
