@@ -7,8 +7,8 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
 import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 import org.apache.spark.sql.execution.{BaseSubqueryExec, CollectLimitExec, GlobalLimitExec, LocalLimitExec, TakeOrderedAndProjectExec}
 
-/** Fleet-wide plan-invariant gate (r8 verdict task #1): every one of
-  * the 507 registered queries' PHYSICAL plans is machine-checked for
+/** Fleet-wide plan-invariant gate (r8 verdict task #1): every
+  * registered query's PHYSICAL plan is machine-checked for
   * the three patterns that sink a 100 TB run —
   *
   *  1. `CartesianProductExec` — a true cartesian product. Never
@@ -82,7 +82,7 @@ class PlanInvariantSpec extends SparkSpec {
     }
   }
 
-  test("all 507 query plans: no cartesian product, no unlisted nested-loop join, no unbounded global window") {
+  test("all registered query plans: no cartesian product, no unlisted nested-loop join, no unbounded global window") {
     val violations = collection.mutable.ArrayBuffer[String]()
     val usedBnlj = collection.mutable.Set[String]()
     val usedGw = collection.mutable.Set[String]()
