@@ -198,10 +198,15 @@ object Extras34 {
     * winner per version, losers rebase and retry; correct for appends
     * because appends commute). The census is deterministic REGARDLESS
     * of race interleaving: all four segments land, the final snapshot
-    * is the full union, and the version count equals init + 4 appends
-    * — which is the whole point of optimistic concurrency. This is the
-    * upstream A16 multi-writer workflow the single-writer store (A2)
-    * could not express.
+    * is the full union, and main's head manifest lists exactly init +
+    * 4 appended segments — which is the whole point of optimistic
+    * concurrency. The VERSION-LOG size is deliberately NOT asserted:
+    * a CAS loser's manifest legally stays in the shared log as an
+    * orphaned snapshot (appendAtomic's documented lineage guard), so
+    * `versions().size` is ≥5 but race-dependent — asserting it made
+    * this row flaky (observed 6 under a real interleaving in r9).
+    * This is the upstream A16 multi-writer workflow the single-writer
+    * store (A2) could not express.
     */
   def storeConcurrentCas(s: SparkSession, d: String): DataFrame = {
     val dir = Files.createTempDirectory("graft_cas_").toString
@@ -218,11 +223,11 @@ object Extras34 {
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("o_orderkey")).as("n_keys"),
         dsumx(dec(col("o_totalprice"))).as("total"))
-      .withColumn("n_versions", lit(store.versions().size.toLong))
+      .withColumn("n_segments", lit(store.segmentCount.toLong))
   }
   val storeConcurrentCasSql: String =
     s"""SELECT count(*) AS n_rows, count(DISTINCT o_orderkey) AS n_keys,
-       |  ${dsumSql("o_totalprice")} AS total, CAST(5 AS BIGINT) AS n_versions
+       |  ${dsumSql("o_totalprice")} AS total, CAST(5 AS BIGINT) AS n_segments
        |FROM orders""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
