@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -40,6 +39,16 @@ private[graft] object CoPurchaseStage {
   def degrees(s: SparkSession, d: String): DataFrame =
     s.read.parquet(ensure(s, d) + "/degrees")
 
+  /** r10 rewrite of the stage body (the +1.13-at-48GiB exponent fix):
+    * the per-customer work is ONE hash aggregation (sorted supplier
+    * list per ck, hub-cap filter on its size) followed by a codegen'd
+    * HOF pair-explode — the r9 shape paid a window sort over ck PLUS a
+    * self-join that re-shuffled and probed the whole edge table to
+    * emit the same pair stream. Aggregates are order-free counts/sums,
+    * so the pair table is bit-identical; only the generation route
+    * changed. `edges0` is persisted across its two consumers (degrees,
+    * pairs) so the scan+distinct shuffle runs once per corpus.
+    */
   private def ensure(s: SparkSession, d: String): String =
     cache.computeIfAbsent(d, _ => {
       val dir = StageTmp.dir("graft_copurchase_")
@@ -47,20 +56,28 @@ private[graft] object CoPurchaseStage {
         .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck")).distinct()
-      edges0.groupBy(col("sk"))
-        .agg(count(lit(1)).cast("long").as("deg"))
-        .write.parquet(dir + "/degrees")
-      val edges = edges0
-        .withColumn("cdeg", count(lit(1)).over(Window.partitionBy("ck")))
-        .filter(col("cdeg") >= 2 && col("cdeg") <= Extras63.GraphHubCap)
-        .withColumn("wfx", expr("CAST(floor(1e9 / ln(cdeg) + 0.5) AS BIGINT)"))
-      edges.select(col("sk").as("sa"), col("ck"), col("wfx"))
-        .join(edges.select(col("sk").as("sb"), col("ck")), "ck")
-        .filter(col("sa") < col("sb"))
-        .groupBy("sa", "sb")
-        .agg(count(lit(1)).cast("long").as("n_inter"),
-          sum(col("wfx")).cast("long").as("wfx_sum"))
-        .write.parquet(dir + "/pairs")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        edges0.groupBy(col("sk"))
+          .agg(count(lit(1)).cast("long").as("deg"))
+          .write.parquet(dir + "/degrees")
+        // sorted list => generated pairs satisfy sa < sb by construction
+        // (sk is distinct within ck — edges0 is distinct)
+        edges0.groupBy("ck")
+          .agg(sort_array(collect_list(col("sk"))).as("sks"))
+          .filter(size(col("sks")).between(2, Extras63.GraphHubCap))
+          .select(
+            expr("CAST(floor(1e9 / ln(size(sks)) + 0.5) AS BIGINT)").as("wfx"),
+            explode(expr(
+              """flatten(transform(sks, (x, i) ->
+                |  transform(slice(sks, i + 2, size(sks)),
+                |    y -> named_struct('sa', x, 'sb', y))))""".stripMargin)).as("p"))
+          .select(col("p.sa").as("sa"), col("p.sb").as("sb"), col("wfx"))
+          .groupBy("sa", "sb")
+          .agg(count(lit(1)).cast("long").as("n_inter"),
+            sum(col("wfx")).cast("long").as("wfx_sum"))
+          .write.parquet(dir + "/pairs")
+      } finally edges0.unpersist()
       dir
     })
 }

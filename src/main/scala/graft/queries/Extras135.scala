@@ -24,9 +24,13 @@ object Extras135 {
         // ts is TIMESTAMP_NTZ; session TZ is pinned UTC, so the cast is
         // the identity on the wall-clock value and matches epoch_us
         expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"),
+        col("event_id"),
         expr("CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)").as("c"))
+      // event_id tie-break: duplicate timestamps within a stream would
+      // otherwise make the dt→value assignment order-dependent (a
+      // legal Spark/DuckDB divergence even though Σdt is tie-invariant)
       .withColumn("dt", lead(col("us"), 1).over(
-        Window.partitionBy("event_type").orderBy("us")) - col("us"))
+        Window.partitionBy("event_type").orderBy("us", "event_id")) - col("us"))
       .filter(col("dt").isNotNull)
     ev.groupBy("event_type")
       .agg(count(lit(1)).cast("long").as("n_intervals"),
@@ -42,12 +46,13 @@ object Extras135 {
   }
   val timeWeightedAverageSql: String =
     """WITH ev AS (
-      |  SELECT event_type, epoch_us(ts) AS us,
+      |  SELECT event_type, epoch_us(ts) AS us, event_id,
       |    CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS c
       |  FROM events),
       |iv AS (
       |  SELECT event_type, c,
-      |    lead(us, 1) OVER (PARTITION BY event_type ORDER BY us) - us AS dt
+      |    lead(us, 1) OVER (PARTITION BY event_type ORDER BY us, event_id)
+      |      - us AS dt
       |  FROM ev)
       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals,
       |  round(CAST(CAST(sum(dt) AS BIGINT) AS DOUBLE) / 1e6 / 86400, 6)

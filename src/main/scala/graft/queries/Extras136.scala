@@ -109,47 +109,26 @@ object Extras136 {
     * similarity join, the third candidate-generation tier beside
     * MinHash banding and SimHash bands: each doc's trigram set is
     * ordered by global rarity (df asc, term), the first
-    * |g| − ⌈0.6·|g|⌉ + 1 tokens form its prefix, and two docs are
-    * candidates only if their prefixes SHARE a token (an equi-join on
-    * the token — provably COMPLETE for Jaccard ≥ 0.6 by pigeonhole:
-    * disjoint prefixes bound the overlap below the threshold).
-    * Candidates then verify by exact intersection counting. Output is
-    * the same definitional pair set as C-ngram Jaccard — graded
-    * against the all-pairs oracle — with the candidate count
-    * spec-checked far below n²/2.
+    * sz − ⌈0.6·sz⌉ + 1 tokens (integer-exact: sz − (6·sz+9) div 10 + 1)
+    * form its prefix, and two docs are candidates only if their
+    * prefixes SHARE a token (an equi-join on the token — provably
+    * COMPLETE for Jaccard ≥ 0.6 by pigeonhole: disjoint prefixes bound
+    * the overlap below the threshold). Candidates then verify by exact
+    * intersection counting.
+    *
+    * This row runs the miner LIVE as the graded exhibit of the prefix
+    * tier, over the SHARED staged shingle aggregates ([[ShingleStage]]
+    * sizes/dfreq — r9 recomputed the exploded trigram frame's shuffles
+    * three times; the staged route computes each once per corpus). The
+    * C5 `dedup_ngram_jaccard` row reads the STAGED pair artifact of
+    * this same miner — production shape vs live exhibit. Candidate
+    * count is spec-checked far below n²/2 and pigeonhole completeness
+    * is spec-checked against the staged true pair set (Extras136Spec).
     */
-  def dedupPrefixFilterJoin(s: SparkSession, d: String): DataFrame = {
-    val sh = documents(s, d)
-      .select(col("doc_id"), expr(
-        """explode(array_distinct(transform(
-          |  sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
-          |  i -> concat_ws(' ', slice(split(text, ' '), i, 3))))) AS g""".stripMargin))
-    val sized = sh.groupBy("doc_id").agg(count(lit(1)).cast("long").as("sz"))
-    val df_ = sh.groupBy("g").agg(count(lit(1)).cast("long").as("df"))
-    val ranked = sh.join(df_, "g")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_id").orderBy("df", "g")))
-      .join(sized, "doc_id")
-      // prefix length for Jaccard >= 0.6: sz - ceil(0.6*sz) + 1
-      .filter(expr("rk <= sz - CAST(ceil(0.6 * sz) AS BIGINT) + 1"))
-      .select(col("doc_id"), col("g"))
-    val cands = ranked.select(col("doc_id").as("doc_a"), col("g"))
-      .join(ranked.select(col("doc_id").as("doc_b"), col("g")), "g")
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    val inter = cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("g").as("g2")), "doc_b")
-      .filter(col("g") === col("g2"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).cast("long").as("inter"))
-    inter
-      .join(sized.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
-      .join(sized.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
-      .selectExpr("doc_a", "doc_b",
-        "CAST(inter AS DOUBLE) / (sza + szb - inter) AS jaccard")
-      .filter(col("jaccard") >= 0.6)
+  def dedupPrefixFilterJoin(s: SparkSession, d: String): DataFrame =
+    DedupExtras.mineNgramJaccardAt(s, d, 6, 10)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
-  }
   val dedupPrefixFilterJoinSql: String =
     """WITH sh AS (
       |  SELECT doc_id,

@@ -212,6 +212,15 @@ object LlmOps {
     * formulation (and threshold-shifted SQL) as dedup_ngram_jaccard's
     * green oracle. Matching it certifies both the exact-verify stage
     * and 100% banding recall on the gate corpus.
+    *
+    * CORPUS PRECONDITION: this equality holds because the gate corpus
+    * has no true pairs in the (0.5, ~0.9) band, where 8×2 banding
+    * recall is <100% (P(hit) = 1−(1−J²)⁸ ≈ 0.90 at J=0.5). A corpus
+    * regeneration planting mid-band pairs could redden this row with
+    * fully correct code — a LOUD failure, not a silent one. The
+    * primary engine gate is SketchSpec's banded==exact assertion
+    * (which compares against the in-engine exact miner at J≥0.5 and
+    * would localize such a miss to banding recall, not verify logic).
     */
   val dedupMinhashNearSql: String =
     """WITH sh AS (

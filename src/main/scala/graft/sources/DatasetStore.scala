@@ -217,6 +217,15 @@ class DatasetStore(spark: SparkSession, path: String, keyCol: String) {
     * only safe under the class's single-writer contract (a concurrent
     * writer's uncommitted segment would look orphaned); production
     * callers keep the default grace.
+    *
+    * READER CONTRACT (proven by StoreMultiProcessSpec's pinned-reader
+    * race): a reader that resolved `readAt(v)` while v was retained may
+    * keep executing its scan for up to `graceMs` after a vacuum expires
+    * v — the manifest disappears (a FRESH readAt(v) fails loudly) but
+    * the snapshot's segment FILES are grace-retained, so in-flight
+    * scans never lose files mid-read. Size `graceMs` above the longest
+    * expected reader pin (Iceberg's orphan-file retention semantics);
+    * `graceMs = 0` additionally requires no concurrent pinned readers.
     */
   def vacuum(keep: Int, graceMs: Long = 600000L): Unit = {
     val protectedVs = refProtectedVersions()

@@ -130,4 +130,70 @@ class StoreMultiProcessSpec extends SparkSpec {
     info(s"${NWriters} processes x ${NAppends} appends each on main+branch: " +
       s"head v${store.headVersion()}, ${mainChain.size} main gens, ${branchChain.size} branch gens, 0 lost")
   }
+
+  test("pinned readAt(v_old) reader survives concurrent compact+vacuum (grace window contract)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_storegc_").toString
+    val dir = s"$base/store"
+    val store = new graft.sources.DatasetStore(spark, dir, "k")
+    store.init((0L until 100L).map(k => (k, "base")).toDF("k", "tag"))
+    store.append((100L until 150L).map(k => (k, "old")).toDF("k", "tag"))
+    val vOld = store.headVersion()
+
+    // fork the pinned reader; wait for it to resolve vOld's manifest
+    val javaBin = new File(new File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+    val ready = new File(base, "reader_ready")
+    val log = new File(base, "reader.log")
+    val cmd = Seq(javaBin) ++ jdk17AddOpens ++ Seq(
+      "-Xmx1500m", "-XX:ReservedCodeCacheSize=128m",
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", sys.props("java.class.path"), "graft.StoreReaderChild",
+      dir, vOld.toString, "6000", ready.getAbsolutePath)
+    val p = new ProcessBuilder(cmd.asJava)
+      .redirectErrorStream(true).redirectOutput(log).start()
+    val t0 = System.currentTimeMillis()
+    while (!ready.exists && System.currentTimeMillis() - t0 < 120000) Thread.sleep(100)
+    assert(ready.exists, "reader never signaled readiness")
+    assert(new String(Files.readAllBytes(ready.toPath), UTF_8).trim.toLong == 150L)
+
+    // concurrent writer churn: appends + compacts + vacuums that expire
+    // vOld's MANIFEST while the reader's scan loop is live. Default
+    // grace keeps the un-referenced segment FILES, so the pinned reader
+    // must stay green for its whole window.
+    var i = 0L
+    while (p.isAlive) {
+      store.append(Seq((1000L + i, "churn")).toDF("k", "tag"))
+      store.compact()
+      store.vacuum(keep = 2)
+      i += 1
+    }
+    assert(p.waitFor(60, TimeUnit.SECONDS), "pinned reader timed out")
+    assert(p.exitValue() == 0,
+      s"pinned reader failed (rc=${p.exitValue()}):\n" +
+        new String(Files.readAllBytes(log.toPath), UTF_8).linesIterator.toSeq.takeRight(25).mkString("\n"))
+    assert(i >= 2, s"writer churned only $i cycles — race window too small")
+
+    // vOld's manifest is expired: a FRESH pin at vOld now fails LOUDLY
+    // (the time-travel contract — never a silent partial read) …
+    val ex = intercept[IllegalArgumentException](store.readAt(vOld))
+    assert(ex.getMessage.contains(s"no snapshot v$vOld"))
+
+    // … but its segment files were grace-retained, not deleted: more
+    // dirs on disk than the compacted head references, purely by grace
+    val headSegs = new String(
+      Files.readAllBytes(new File(dir, s"MANIFEST.v${store.headVersion()}").toPath), UTF_8)
+      .split('\n').count(_.trim.nonEmpty)
+    assert(store.segmentDirsOnDisk > headSegs,
+      "expected grace-retained orphan segments after vacuum(keep=2)")
+
+    // grace=0 (single-writer quiesced) reclaims them; head still reads
+    store.vacuum(keep = 1, graceMs = 0L)
+    assert(store.segmentDirsOnDisk == headSegs,
+      s"grace-0 vacuum left orphans: ${store.segmentDirsOnDisk} dirs vs $headSegs live")
+    val ks = store.read().select("k").collect().map(_.getLong(0)).toSet
+    assert(ks == ((0L until 150L) ++ (1000L until 1000L + i)).toSet,
+      "head data lost after grace-0 vacuum")
+    info(s"pinned reader green across $i concurrent compact+vacuum cycles; " +
+      s"manifest expiry loud; grace-0 reclaimed to $headSegs live segment dirs")
+  }
 }
