@@ -161,6 +161,7 @@ object PlanInvariantSpec {
     "embed_triplet_mining" -> "broadcast side = 100 anchor vectors (vec_id < 100, Extras124.scala)",
     "embed_knn_graph_degree" -> "both sides = the FIXED 500-vector probe sample (vec_id < 500, Extras126.scala) - O(1) in the corpus",
     "embed_energy_distance" -> "both sides = the FIXED 500-vector probe sample (vec_id < 500, Extras133.scala) - O(1) in the corpus",
+    "multimodal_ahash_near_dup" -> "both sides = the FIXED 500-doc probe sample (doc_id < 500, Extras139.scala) - O(1) in the corpus",
     "sim_topk_margin" -> "broadcast side = 10 probe vectors (vec_id < 10, Extras118.scala)",
     "sort_cluster_minmax" -> "per-parquet-file min/max frame, rows = file count of the layout exhibit (Extras33.scala:70)",
     "stat_qq_deciles" -> "1x1 join of the two per-half decile-array rows (2-group agg then half filter, Extras76.scala:99-101)",
