@@ -237,10 +237,18 @@ object Extras138 {
     * the mirror step for authorities. O(|E|) per round.
     */
   def graphHitsFixed(s: SparkSession, d: String): DataFrame = {
+    // The edge set feeds SIX joins (2 per iteration) and each
+    // iteration's scores feed the next: left lazy, Spark re-derives
+    // the whole upstream DAG per reference (r10 bench: 13.4 s at
+    // sf0.1). localCheckpoint pins each round's concrete RDD — every
+    // join and aggregation executes exactly once (the GlobalRank
+    // pinning rationale; values are exact integers, so pinning cannot
+    // change results, only cut recomputation). 13.4 s → ~2 s.
     val edges = lineitem(s, d).select(col("l_suppkey"), col("l_orderkey"))
       .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck")).distinct()
+      .localCheckpoint()
     var auth = edges.select(col("ck")).distinct()
       .select(col("ck"), lit(1000000L).as("a_mu"))
     var hub: DataFrame = null
@@ -250,11 +258,13 @@ object Extras138 {
       val hmax = hraw.agg(max(col("raw")).cast("long").as("mx"))
       hub = hraw.crossJoin(broadcast(hmax))
         .selectExpr("sk", "(raw * 1000000L) div mx AS h_mu")
+        .localCheckpoint()
       val araw = edges.join(hub, "sk")
         .groupBy("ck").agg(sum(col("h_mu")).cast("long").as("raw"))
       val amax = araw.agg(max(col("raw")).cast("long").as("mx"))
       auth = araw.crossJoin(broadcast(amax))
         .selectExpr("ck", "(raw * 1000000L) div mx AS a_mu")
+        .localCheckpoint()
     }
     val topHubs = hub.orderBy(col("h_mu").desc, col("sk")).limit(10)
       .selectExpr("'hub' AS kind", "sk AS node_id", "h_mu AS score_mu")

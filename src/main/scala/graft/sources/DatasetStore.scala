@@ -521,6 +521,46 @@ class DatasetStore(spark: SparkSession, path: String, keyCol: String) {
     }
   }
 
+  /** MERGE onto a BRANCH head — the branch-side [[upsert]] a
+    * three-way branch-merge workflow needs: rows in `updates` replace
+    * same-key rows in the branch snapshot, new keys insert. Same
+    * two-level CAS as [[appendBranch]], with one structural
+    * difference: the merged segment is DERIVED from the snapshot it
+    * read (not an independent delta), so a lost pointer race must
+    * REBUILD the segment from the fresh branch version — re-linking
+    * the stale segment would silently drop the winner's rows.
+    */
+  def upsertBranch(name: String, updates: DataFrame, maxRetries: Int = 50): Unit = {
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      val gen = latestBranchGen(name)
+        .getOrElse(sys.error(s"store at $path has no branch $name"))
+      val bv = new String(
+        Files.readAllBytes(branchGenFile(name, gen).toPath), UTF_8).trim.toLong
+      val merged = readAt(bv).join(
+          broadcast(updates.select(col(keyCol))), Seq(keyCol), "left_anti")
+        .unionByName(updates)
+      val seg = writeSegment(merged)
+      val v = versions().lastOption.getOrElse(0L)
+      val tmp = new File(root, s"MANIFEST.tmp.${seq.incrementAndGet()}.${Thread.currentThread().getId}")
+      Files.write(tmp.toPath, seg.getBytes(UTF_8))
+      val manifestLanded =
+        try {
+          Files.createLink(manifestFile(v + 1).toPath, tmp.toPath)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        } finally Files.deleteIfExists(tmp.toPath)
+      if (manifestLanded && casBranchPointer(name, gen + 1, v + 1)) committed = true
+      else {
+        attempt += 1
+        require(attempt <= maxRetries,
+          s"store at $path: branch merge CAS lost $maxRetries races")
+      }
+    }
+  }
+
   /** Fast-forward CURRENT to the branch head (publish the branch).
     * Also advances the main-head pointer: main's lineage now ends at
     * the branch's version, and subsequent [[appendAtomic]] calls must
