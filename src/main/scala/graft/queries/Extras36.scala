@@ -89,7 +89,12 @@ object Extras36 {
     * applied to vector quantization. O(n·k·dims) per round,
     * distributed as plain joins, no driver-side model state.
     */
-  def embedKmeansFixed(s: SparkSession, d: String): DataFrame = {
+  /** The fitted (assignments, centroids) pair after [[KmIters]]
+    * rounds — shared by the graded summary row and C574's
+    * cluster-purity eval (which joins the assignments against the
+    * label column). Exposed so purity does not re-derive the loop.
+    */
+  private[queries] def kmeansFit(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     // Pin the quantized frame and each round's centroid table eagerly:
     // Lloyd's loop otherwise nests the full quantize+join+argmin chain
     // once per round inside the next round's plan (the embed_pca_power
@@ -126,12 +131,18 @@ object Extras36 {
     val dist = q.join(cent, "dim")
       .groupBy("vec_id", "c")
       .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("d2"))
-    val assign = argmin(dist)
+    (argmin(dist), cent)
+  }
+
+  def embedKmeansFixed(s: SparkSession, d: String): DataFrame = {
+    val (assign, cent) = kmeansFit(s, d)
     assign.groupBy("c").agg(count(lit(1)).as("n_vecs"))
       .join(cent.groupBy("c").agg(sum(col("cv")).as("cent_checksum")), "c")
       .orderBy("c")
   }
-  val embedKmeansFixedSql: String = {
+  /** The full CTE chain ending at `af(vec_id, c)` — shared with
+    * C574's purity oracle so both rows grade the SAME fitted model. */
+  private[queries] lazy val kmeansCtesSql: String = {
     val base =
       """WITH q AS (
         |  SELECT vec_id, gs AS dim,
@@ -158,12 +169,15 @@ object Extras36 {
          |af AS (
          |  SELECT vec_id, c FROM (
          |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
-         |    FROM df) WHERE rn = 1)
-         |SELECT af.c, count(*) AS n_vecs,
-         |  (SELECT CAST(sum(cv) AS BIGINT) FROM c$KmIters cc WHERE cc.c = af.c) AS cent_checksum
-         |FROM af GROUP BY af.c ORDER BY af.c""".stripMargin
+         |    FROM df) WHERE rn = 1)""".stripMargin
     s"$base,\n$iters,\n$fin"
   }
+
+  val embedKmeansFixedSql: String =
+    s"""$kmeansCtesSql
+       |SELECT af.c, count(*) AS n_vecs,
+       |  (SELECT CAST(sum(cv) AS BIGINT) FROM c$KmIters cc WHERE cc.c = af.c) AS cent_checksum
+       |FROM af GROUP BY af.c ORDER BY af.c""".stripMargin
 
   /** pipeline_interleave_order — the DETERMINISTIC training-order
     * interleave: each source's documents rank internally by the
