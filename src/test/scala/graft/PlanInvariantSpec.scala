@@ -167,6 +167,7 @@ object PlanInvariantSpec {
     "stat_qq_deciles" -> "1x1 join of the two per-half decile-array rows (2-group agg then half filter, Extras76.scala:99-101)",
     "stat_welch_ttest" -> "1x1 join of the en/de per-lang moment rows (lang-grouped agg then filter, Extras55.scala:85-89)",
     "stat_cohens_d" -> "1x1 join of the click/purchase moment rows (type-grouped agg then filter, Extras126.scala)",
+    "stat_tost_equivalence" -> "1x1 join of the en/de per-lang moment rows (lang-grouped agg then filter, Extras144.scala)",
   )
 
   // empty as of r9: every one of the 173 empty-partition windows in the
