@@ -168,6 +168,7 @@ object PlanInvariantSpec {
     "stat_welch_ttest" -> "1x1 join of the en/de per-lang moment rows (lang-grouped agg then filter, Extras55.scala:85-89)",
     "stat_cohens_d" -> "1x1 join of the click/purchase moment rows (type-grouped agg then filter, Extras126.scala)",
     "stat_tost_equivalence" -> "1x1 join of the en/de per-lang moment rows (lang-grouped agg then filter, Extras144.scala)",
+    "embed_intrinsic_dim" -> "both sides = the FIXED 500-vector probe sample (vec_id < 500, Extras147.scala) - O(1) in the corpus",
   )
 
   // empty as of r9: every one of the 173 empty-partition windows in the
