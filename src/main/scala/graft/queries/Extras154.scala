@@ -182,26 +182,29 @@ object Extras154 {
         "CAST(conv(substring(md5(concat('hp:', p, ':', pos)), 1, 6), 16, 10) AS DOUBLE) / 16777216.0"))
       .withColumn("sf", expr("lo + CAST(floor(u01 * (hi - lo) + 0.5) AS BIGINT)"))
       .select(col("p"), col("pos"), col("sf"))
-    val uDist = synth.join(comp.withColumnRenamed("vec_id", "q"), Seq("pos"))
+    val uNN = synth.join(comp.withColumnRenamed("vec_id", "q"), Seq("pos"))
       .groupBy("p", "q")
       .agg(sum(expr("CAST(sf - f AS DECIMAL(38,0)) * (sf - f)"))
         .cast("decimal(38,0)").as("d2"))
       .groupBy("p")
       .agg(min(col("d2")).as("nn2"))
-      .agg(sum(expr("CAST(floor(sqrt(CAST(nn2 AS DOUBLE)) / 1000 + 0.5) AS BIGINT)"))
-        .cast("long").as("su"))
+      .selectExpr("'u' AS side", "nn2")
     val realProbes = comp.filter(col("vec_id") < m)
       .selectExpr("vec_id AS p", "pos", "f AS sf")
-    val wDist = realProbes.join(comp.withColumnRenamed("vec_id", "q"), Seq("pos"))
+    val wNN = realProbes.join(comp.withColumnRenamed("vec_id", "q"), Seq("pos"))
       .filter(col("q") =!= col("p"))
       .groupBy("p", "q")
       .agg(sum(expr("CAST(sf - f AS DECIMAL(38,0)) * (sf - f)"))
         .cast("decimal(38,0)").as("d2"))
       .groupBy("p")
       .agg(min(col("d2")).as("nn2"))
-      .agg(sum(expr("CAST(floor(sqrt(CAST(nn2 AS DOUBLE)) / 1000 + 0.5) AS BIGINT)"))
+      .selectExpr("'w' AS side", "nn2")
+    // tagged union + ONE aggregate: no join of the two 1-row frames at all
+    uNN.unionAll(wNN)
+      .agg(sum(expr("CASE WHEN side = 'u' THEN CAST(floor(sqrt(CAST(nn2 AS DOUBLE)) / 1000 + 0.5) AS BIGINT) ELSE 0L END"))
+        .cast("long").as("su"),
+        sum(expr("CASE WHEN side = 'w' THEN CAST(floor(sqrt(CAST(nn2 AS DOUBLE)) / 1000 + 0.5) AS BIGINT) ELSE 0L END"))
         .cast("long").as("sw"))
-    uDist.crossJoin(broadcast(wDist))
       .selectExpr(s"CAST($m AS BIGINT) AS n_probes", "su", "sw",
         "round(CAST(su AS DOUBLE) / (su + sw), 6) AS hopkins_h")
   }
