@@ -60,12 +60,12 @@ object Extras160 {
       |m AS (
       |  SELECT CAST(count(*) AS BIGINT) AS n_strata,
       |    CAST(sum(a) AS BIGINT) AS sa,
-      |    CAST(sum((CAST(a + b AS DECIMAL(38,0)) * (a + c) * 1000000) // nk)
+      |    CAST(sum(CAST(CAST(a + b AS HUGEINT) * (a + c) * 1000000 AS HUGEINT) // nk)
       |      AS DECIMAL(38,0)) AS se6,
-      |    CAST(sum((CAST(a + b AS DECIMAL(38,0)) * (c + dd) * (a + c) * (b + dd) * 1000000)
-      |      // (CAST(nk AS DECIMAL(38,0)) * nk * (nk - 1))) AS DECIMAL(38,0)) AS sv6,
-      |    CAST(sum((CAST(a AS DECIMAL(38,0)) * dd * 1000000) // nk) AS DECIMAL(38,0)) AS sad6,
-      |    CAST(sum((CAST(b AS DECIMAL(38,0)) * c * 1000000) // nk) AS DECIMAL(38,0)) AS sbc6
+      |    CAST(sum(CAST(CAST(a + b AS HUGEINT) * (c + dd) * (a + c) * (b + dd) * 1000000 AS HUGEINT)
+      |      // (CAST(nk AS HUGEINT) * nk * (nk - 1))) AS DECIMAL(38,0)) AS sv6,
+      |    CAST(sum(CAST(CAST(a AS HUGEINT) * dd * 1000000 AS HUGEINT) // nk) AS DECIMAL(38,0)) AS sad6,
+      |    CAST(sum(CAST(CAST(b AS HUGEINT) * c * 1000000 AS HUGEINT) // nk) AS DECIMAL(38,0)) AS sbc6
       |  FROM k)
       |SELECT n_strata,
       |  round(pow(abs(CAST(sa AS DOUBLE) - CAST(se6 AS DOUBLE) / 1e6) - 0.5, 2)

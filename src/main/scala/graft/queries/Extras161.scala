@@ -68,8 +68,8 @@ object Extras161 {
       |    a + b + c + dd AS nk
       |  FROM strata),
       |psi AS (
-      |  SELECT CAST(CAST(sum((CAST(a AS DECIMAL(38,0)) * dd * 1000000) // nk) AS DECIMAL(38,0)) AS DOUBLE)
-      |    / CAST(CAST(sum((CAST(b AS DECIMAL(38,0)) * c * 1000000) // nk) AS DECIMAL(38,0)) AS DOUBLE) AS psi
+      |  SELECT CAST(CAST(sum(CAST(CAST(a AS HUGEINT) * dd * 1000000 AS HUGEINT) // nk) AS DECIMAL(38,0)) AS DOUBLE)
+      |    / CAST(CAST(sum(CAST(CAST(b AS HUGEINT) * c * 1000000 AS HUGEINT) // nk) AS DECIMAL(38,0)) AS DOUBLE) AS psi
       |  FROM k),
       |q AS (
       |  SELECT k.*, psi,
