@@ -217,14 +217,19 @@ object Extras165 {
       .agg(count(lit(1)).cast("long").as("n"),
         sum(col("f")).cast("decimal(38,0)").as("sf"),
         sum(expr("CAST(f AS DECIMAL(38,0)) * f")).cast("decimal(38,0)").as("qf"))
+    // W is summed EXACTLY as DECIMAL(38,0) (n*qf - sf² per dim, n equal
+    // across dims) and divided by n once at the end — the r10 ADVICE
+    // fix: a distributed sum of raw doubles had partition-order-
+    // dependent rounding, the only row in this batch that deviated from
+    // the quantize-before-sum idiom.
     perDim.agg(max(col("n")).as("n"),
         sum(expr("sf * sf")).as("a2"),
         sum(col("qf")).cast("decimal(38,0)").as("b2"),
-        sum(expr("CAST(CAST(n AS DECIMAL(38,0)) * qf - sf * sf AS DOUBLE) / n / 1e18"))
-          .as("wraw"))
+        sum(expr("CAST(n AS DECIMAL(38,0)) * qf - sf * sf"))
+          .cast("decimal(38,0)").as("w2"))
       .selectExpr("n",
         "(CAST(a2 AS DOUBLE) / 1e18 - CAST(b2 AS DOUBLE) / 1e18) / (CAST(n AS DOUBLE) * (n - 1)) AS before_",
-        "-wraw / (CAST(n AS DOUBLE) * (n - 1)) AS after_")
+        "-(CAST(w2 AS DOUBLE) / 1e18 / n) / (CAST(n AS DOUBLE) * (n - 1)) AS after_")
       .selectExpr("n AS n_vectors",
         "round(before_, 8) AS mean_dot_raw",
         "round(after_, 8) AS mean_dot_centered",
@@ -244,12 +249,12 @@ object Extras165 {
       |  SELECT max(n) AS n,
       |    CAST(sum(sf * sf) AS DOUBLE) / 1e18 AS a,
       |    CAST(CAST(sum(qf) AS DECIMAL(38,0)) AS DOUBLE) / 1e18 AS b,
-      |    sum(CAST(CAST(n AS DECIMAL(38,0)) * qf - sf * sf AS DOUBLE) / n / 1e18) AS wraw
+      |    CAST(CAST(sum(CAST(n AS DECIMAL(38,0)) * qf - sf * sf) AS DECIMAL(38,0)) AS DOUBLE) AS w2
       |  FROM perdim)
       |SELECT n AS n_vectors,
       |  round((a - b) / (CAST(n AS DOUBLE) * (n - 1)), 8) AS mean_dot_raw,
-      |  round(-wraw / (CAST(n AS DOUBLE) * (n - 1)), 8) AS mean_dot_centered,
-      |  round(abs(-wraw / (CAST(n AS DOUBLE) * (n - 1)))
+      |  round(-(w2 / 1e18 / n) / (CAST(n AS DOUBLE) * (n - 1)), 8) AS mean_dot_centered,
+      |  round(abs(-(w2 / 1e18 / n) / (CAST(n AS DOUBLE) * (n - 1)))
       |    / abs((a - b) / (CAST(n AS DOUBLE) * (n - 1))), 6) AS residual_ratio
       |FROM m""".stripMargin
 

@@ -221,18 +221,31 @@ object Extras170 {
     */
   def embedLofProbes(s: SparkSession, d: String): DataFrame = {
     val k = 5
+    // r10-verdict perf rewrite: the distance matrix used to be built by
+    // a 64-way posexplode + pos-keyed self-join (500·500·64 ≈ 16 M
+    // intermediate rows shuffled into a groupBy). The 500 quantized
+    // probe vectors fit in one broadcast, so the SAME exact squared
+    // distances come out of one codegen graft_qsqdist pass (exact
+    // integer Σ(fa−fb)², order-independent → bit-identical d; the
+    // BIGINT accumulator is exact by the unit-norm bound the spec
+    // asserts: Σf² ≈ 1e18 ⇒ Σ(fa−fb)² ≤ 4.0e18 < 2⁶³) with zero
+    // shuffle and ~10× less intermediate volume.
+    graft.functions.QuantSqDist.register(s)
     val probe = embeddings(s, d)
       .filter(col("vec_id") < 500)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .select(col("vec_id"), col("pos"),
-        expr("CAST(floor(CAST(v AS DOUBLE) * 1e9 + 0.5) AS BIGINT)").as("f"))
-    val dist = probe.as("a")
-      .join(probe.selectExpr("vec_id AS b", "pos", "f AS f2").as("bb"), Seq("pos"))
-      .filter(expr("vec_id <> b"))
-      .groupBy(col("vec_id").as("a"), col("b"))
-      .agg(sum(expr("CAST(f - f2 AS DECIMAL(38,0)) * (f - f2)"))
-        .cast("decimal(38,0)").as("d2"))
-      .selectExpr("a", "b", "sqrt(CAST(d2 AS DOUBLE)) / 1e9 AS d")
+      .select(col("vec_id").as("a"),
+        expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1e9 + 0.5) AS BIGINT))")
+          .as("fa"))
+    val dist = probe
+      .join(broadcast(probe.selectExpr("a AS b", "fa AS fb")), expr("a <> b"))
+      .selectExpr("a", "b",
+        "sqrt(CAST(graft_qsqdist(fa, fb) AS DOUBLE)) / 1e9 AS d")
+      // one deliberate 250k-row exchange: the dist subtree is referenced
+      // 8× through the kdist/nk/lrd/lof DAG, and without a shuffle there
+      // is nothing for ReusedExchange to anchor, so the BNLJ+distance
+      // pass would recompute per reference. repartition(a) also IS the
+      // window's partitioning, so the k-distance rank adds no shuffle.
+      .repartition(col("a"))
     val wk = Window.partitionBy("a").orderBy(col("d").asc, col("b").asc)
     val withRank = dist.withColumn("rk", row_number().over(wk))
     val kdist = withRank.filter(col("rk") === k)

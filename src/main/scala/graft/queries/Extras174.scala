@@ -31,6 +31,10 @@ object Extras174 {
           |  / (1 + 3.8416 / n), 6) AS wilson_lo""".stripMargin,
         """round((p + 1.9208 / n + 1.96 * sqrt(p * (1 - p) / n + 0.9604 / (CAST(n AS DOUBLE) * n)))
           |  / (1 + 3.8416 / n), 6) AS wilson_hi""".stripMargin)
+      // explicit FINAL order (r10 ADVICE): the row order must not depend
+      // on the engines happening to preserve the CTE's ORDER BY through
+      // the outer projection
+      .orderBy(col("n").desc, col("source").asc)
   }
   val statWilsonIntervalSql: String =
     """WITH src AS (
@@ -45,7 +49,7 @@ object Extras174 {
       |    / (1 + 3.8416 / n), 6) AS wilson_lo,
       |  round((p + 1.9208 / n + 1.96 * sqrt(p * (1 - p) / n + 0.9604 / (CAST(n AS DOUBLE) * n)))
       |    / (1 + 3.8416 / n), 6) AS wilson_hi
-      |FROM p""".stripMargin
+      |FROM p ORDER BY n DESC, source""".stripMargin
 
   /** C701 sample_hash_uniformity_audit — the PRNG-idiom audit: the
     * md5-fraction uniforms every hash-sampling row relies on are

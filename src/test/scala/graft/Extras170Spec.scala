@@ -82,6 +82,11 @@ class Extras170Spec extends SparkSpec {
       .map(r => (r.getLong(0),
         r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e9 + 0.5)).toArray))
       .filter(_._1 < 500).sortBy(_._1)
+    // graft_qsqdist BIGINT-accumulator exactness precondition: vectors
+    // are unit-norm, so Σ(fa−fb)² ≤ 2Σfa²+2Σfb² ≤ 4.4e18 < 2⁶³
+    vecs.foreach { case (_, f) =>
+      assert(f.map(x => x * x).sum <= 1.1e18, "quantized norm² exceeds the qsqdist overflow bound")
+    }
     val dims = vecs.head._2.length
     def d(a: Array[Double], b: Array[Double]): Double =
       math.sqrt((0 until dims).map(j => (a(j) - b(j)) * (a(j) - b(j))).sum) / 1e9

@@ -171,6 +171,7 @@ object PlanInvariantSpec {
     "embed_intrinsic_dim" -> "both sides = the FIXED 500-vector probe sample (vec_id < 500, Extras147.scala) - O(1) in the corpus",
     "stat_tukey_hsd_matrix" -> "5x5 self-join of the 5-row priority-group aggregate (grp < grp pairs, Extras155.scala) - O(1) in the corpus",
     "embed_hopkins_statistic" -> "broadcast side = the 64-row per-dim [min,max] box frame crossed with the 50 fixed probes (Extras154.scala) - O(1) in the corpus",
+    "embed_lof_probes" -> "both sides = the FIXED 500-vector probe sample (vec_id < 500, Extras170.scala) - O(1) in the corpus (r11 HOF-distance rewrite)",
   )
 
   // empty as of r9: every one of the 173 empty-partition windows in the
