@@ -24,6 +24,20 @@ import org.apache.spark.sql.functions._
   * leaves an orphan segment and the old manifest intact. At 100 TB the
   * same protocol holds with partition-scoped rewrites: upsert rewrites
   * only segments containing touched keys and the manifest flips once.
+  *
+  * Crash recovery (proven by StoreCrashSpec with a SIGKILLed writer):
+  * a writer killed at ANY point of the commit path leaves one of three
+  * states, all absorbed without repair tooling — (1) a truncated
+  * segment dir (kill mid-parquet-write), (2) a complete segment no
+  * manifest references (kill between segment write and manifest link),
+  * (3) a linked MANIFEST.vN that never became a head generation (kill
+  * between writeAtomic and advanceMainHead). Readers resolve manifests
+  * → states 1–2 are invisible; head resolution is the monotone pointer
+  * chain → state 3 is a readable-but-unreachable snapshot, never a
+  * head. The next vacuum/prune reclaims 1–2 as orphans (grace-window
+  * Iceberg-style retention); the next commit simply claims the next
+  * version/generation. No fsync ordering is assumed beyond what
+  * ATOMIC_MOVE + link(2) give on a POSIX filesystem.
   */
 class DatasetStore(spark: SparkSession, path: String, keyCol: String) {
 
