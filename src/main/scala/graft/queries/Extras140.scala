@@ -283,14 +283,18 @@ object Extras140 {
         sum(expr("CASE WHEN certain THEN CAST(c AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END")).as("cert_c"),
         sum(expr("CASE WHEN certain THEN 1L ELSE 0L END")).cast("long").as("n_cert"),
         sum(expr("CASE WHEN NOT certain AND drawn THEN 1L ELSE 0L END")).cast("long").as("n_draw"))
+      // dollars rounded to CENTS (2dp): at ~1e10 magnitude a double's
+      // ulp exceeds a 1e-6 rounding grid, so round(,6) was an identity
+      // and a 1-ulp decimal->double divergence between engines survived
+      // it (caught by the r11 sf0.1 sweep compare)
       .selectExpr("n AS n_orders", "n_cert + n_draw AS n_sampled",
         s"""round((CAST(cert_c AS DOUBLE)
-           |  + CAST(n_draw AS DOUBLE) * CAST(sc AS DOUBLE) / $K) / 100, 6)
+           |  + CAST(n_draw AS DOUBLE) * CAST(sc AS DOUBLE) / $K) / 100, 2)
            |  AS ht_estimate""".stripMargin,
-        "round(CAST(sc AS DOUBLE) / 100, 6) AS true_total",
+        "round(CAST(sc AS DOUBLE) / 100, 2) AS true_total",
         s"""round(((CAST(cert_c AS DOUBLE)
            |  + CAST(n_draw AS DOUBLE) * CAST(sc AS DOUBLE) / $K)
-           |  - CAST(sc AS DOUBLE)) / CAST(sc AS DOUBLE) * 1000000, 6)
+           |  - CAST(sc AS DOUBLE)) / CAST(sc AS DOUBLE) * 1000000, 4)
            |  AS err_ppm""".stripMargin)
   }
   val sampleHorvitzThompsonSql: String =
@@ -319,12 +323,12 @@ object Extras140 {
       |  FROM cls)
       |SELECT n AS n_orders, n_cert + n_draw AS n_sampled,
       |  round((CAST(cert_c AS DOUBLE)
-      |    + CAST(n_draw AS DOUBLE) * CAST(sc AS DOUBLE) / 1000) / 100, 6)
+      |    + CAST(n_draw AS DOUBLE) * CAST(sc AS DOUBLE) / 1000) / 100, 2)
       |    AS ht_estimate,
-      |  round(CAST(sc AS DOUBLE) / 100, 6) AS true_total,
+      |  round(CAST(sc AS DOUBLE) / 100, 2) AS true_total,
       |  round(((CAST(cert_c AS DOUBLE)
       |    + CAST(n_draw AS DOUBLE) * CAST(sc AS DOUBLE) / 1000)
-      |    - CAST(sc AS DOUBLE)) / CAST(sc AS DOUBLE) * 1000000, 6) AS err_ppm
+      |    - CAST(sc AS DOUBLE)) / CAST(sc AS DOUBLE) * 1000000, 4) AS err_ppm
       |FROM agg""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
