@@ -68,10 +68,15 @@ object Extras189 {
       sum(expr("CASE WHEN t = p THEN m ELSE 0L END")).cast("long").as("c"))
     base.crossJoin(broadcast(margT)).crossJoin(broadcast(margP))
       .crossJoin(broadcast(cross))
+      // degenerate guard: a single-class predictor (every source shares
+      // one majority lang — true at sf0.1) makes s² = Σp² and the MCC
+      // denominator 0; the standard convention is MCC = 0 there
       .selectExpr("s", "c",
-        """round((CAST(c AS DOUBLE) * s - CAST(tp_cross AS DOUBLE))
-          |/ sqrt((CAST(s AS DOUBLE) * s - CAST(p2 AS DOUBLE))
-          |  * (CAST(s AS DOUBLE) * s - CAST(t2 AS DOUBLE))), 6) AS mcc""".stripMargin,
+        """round(CASE WHEN CAST(s AS DECIMAL(38,0)) * s = p2
+          |  OR CAST(s AS DECIMAL(38,0)) * s = t2 THEN 0.0D
+          |ELSE (CAST(c AS DOUBLE) * s - CAST(tp_cross AS DOUBLE))
+          |  / sqrt((CAST(s AS DOUBLE) * s - CAST(p2 AS DOUBLE))
+          |    * (CAST(s AS DOUBLE) * s - CAST(t2 AS DOUBLE))) END, 6) AS mcc""".stripMargin,
         "round(CAST(c AS DOUBLE) / s, 6) AS accuracy")
   }
   val statMccMulticlassSql: String =
@@ -92,9 +97,11 @@ object Extras189 {
       |    CAST(sum(CASE WHEN t = p THEN m ELSE 0 END) AS BIGINT) AS c
       |  FROM conf)
       |SELECT s, c,
-      |  round((CAST(c AS DOUBLE) * s - CAST(tp_cross AS DOUBLE))
-      |  / sqrt((CAST(s AS DOUBLE) * s - CAST(p2 AS DOUBLE))
-      |    * (CAST(s AS DOUBLE) * s - CAST(t2 AS DOUBLE))), 6) AS mcc,
+      |  round(CASE WHEN CAST(s AS DECIMAL(38,0)) * s = p2
+      |    OR CAST(s AS DECIMAL(38,0)) * s = t2 THEN 0.0
+      |  ELSE (CAST(c AS DOUBLE) * s - CAST(tp_cross AS DOUBLE))
+      |    / sqrt((CAST(s AS DOUBLE) * s - CAST(p2 AS DOUBLE))
+      |      * (CAST(s AS DOUBLE) * s - CAST(t2 AS DOUBLE))) END, 6) AS mcc,
       |  round(CAST(c AS DOUBLE) / s, 6) AS accuracy
       |FROM base, mt, mp, cr""".stripMargin
 

@@ -23,8 +23,9 @@ class Extras189Spec extends SparkSpec {
     val pk = pairs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
     val cross = tk.keys.map(k => tk(k) * pk.getOrElse(k, 0L)).sum
     val t2 = tk.values.map(v => v * v).sum; val p2 = pk.values.map(v => v * v).sum
-    val mcc = (c.toDouble * s0 - cross) /
-      math.sqrt((s0.toDouble * s0 - p2) * (s0.toDouble * s0 - t2))
+    val mcc = if (s0 * s0 == p2 || s0 * s0 == t2) 0.0 // single-class degenerate convention
+      else (c.toDouble * s0 - cross) /
+        math.sqrt((s0.toDouble * s0 - p2) * (s0.toDouble * s0 - t2))
     val row = queries.Extras189.statMccMulticlass(spark, sf).collect().head
     assert(row.getLong(0) == s0 && row.getLong(1) == c)
     assert(math.abs(row.getDouble(2) - mcc) < 1e-5)
