@@ -220,8 +220,11 @@ object Extras190 {
       .agg(sum(expr("CASE WHEN l_returnflag = 'A' THEN 1L ELSE 0L END")).cast("long").as("m1"),
         sum(expr("CASE WHEN l_returnflag = 'R' THEN 1L ELSE 0L END")).cast("long").as("m2"))
       .withColumn("g", expr("m1 + m2"))
-    val withC = graft.plans.GlobalRank
-      .withExclusivePrefixSum(hist, "c", col("g"), Seq(col("qv").asc))
+    // ≤50-bucket agg-bounded frame: exclusive-prefix window beats the
+    // two-pass GlobalRank shuffle and stays plan-gate-legal
+    val withC = hist.withColumn("c", coalesce(sum(col("g")).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("qv").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)), lit(0L)).cast("long"))
     val tot = withC.agg(sum(col("g")).cast("long").as("nn"))
     // 4a = (2c + g + 1 - (N+1))² = (2c + g - N)²  (midrank minus mean rank, ×2, squared)
     withC.crossJoin(broadcast(tot))

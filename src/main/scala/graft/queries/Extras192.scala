@@ -26,9 +26,12 @@ object Extras192 {
       .groupBy(expr("date_trunc('day', o_orderdate)").as("day"))
       .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)"))
         .cast("long").as("v"))
-    graft.plans.GlobalRank
-      .withExclusivePrefixSum(base, "p0", col("v"), Seq(col("day").asc))
-      .select(col("day"), col("v"), (col("p0") + col("v")).as("p"))
+    // the day frame is calendar-bounded (≤ a few thousand rows) and
+    // agg-bounded below, so a single-task cumulative window is both
+    // plan-gate-legal and cheaper than the two-pass GlobalRank shuffle
+    base.withColumn("p", sum(col("v")).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("day").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)).cast("long"))
   }
   private val dailySql: String =
     """base AS (

@@ -80,12 +80,14 @@ object Extras194 {
       .agg(sum(expr("CASE WHEN l_returnflag = 'A' THEN 1L ELSE 0L END")).cast("long").as("l1"),
         sum(expr("CASE WHEN l_returnflag = 'R' THEN 1L ELSE 0L END")).cast("long").as("l2"))
       .withColumn("l", expr("l1 + l2"))
-    val withB = graft.plans.GlobalRank
-      .withExclusivePrefixSum(hist, "b", col("l"), Seq(col("qv").asc))
-    val withM1 = graft.plans.GlobalRank
-      .withExclusivePrefixSum(withB, "m1", col("l1"), Seq(col("qv").asc))
-    val withM = graft.plans.GlobalRank
-      .withExclusivePrefixSum(withM1, "m2", col("l2"), Seq(col("qv").asc))
+    // ≤50-bucket agg-bounded frame: all three exclusive prefixes from
+    // ONE single-task window (plan-gate-legal; beats 3 GlobalRank passes)
+    val wref = org.apache.spark.sql.expressions.Window.orderBy(col("qv").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val withM = hist
+      .withColumn("b", coalesce(sum(col("l")).over(wref), lit(0L)).cast("long"))
+      .withColumn("m1", coalesce(sum(col("l1")).over(wref), lit(0L)).cast("long"))
+      .withColumn("m2", coalesce(sum(col("l2")).over(wref), lit(0L)).cast("long"))
     val tot = hist.agg(sum(col("l1")).cast("long").as("n1"),
       sum(col("l2")).cast("long").as("n2"),
       (sum(col("l1")) + sum(col("l2"))).cast("long").as("nn"))

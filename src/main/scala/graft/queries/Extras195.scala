@@ -122,9 +122,10 @@ object Extras195 {
     val hist = events(s, d)
       .groupBy(expr("hour(ts)").as("h"))
       .agg(count(lit(1)).cast("long").as("m"))
-    val withC = graft.plans.GlobalRank
-      .withExclusivePrefixSum(hist, "c0", col("m"), Seq(col("h").asc))
-      .withColumn("ck", expr("c0 + m"))
+    // 24-bin agg-bounded frame: single-task inclusive window
+    val withC = hist.withColumn("ck", sum(col("m")).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("h").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)).cast("long"))
     val tot = hist.agg(sum(col("m")).cast("long").as("n"))
     withC.crossJoin(broadcast(tot))
       .select(col("n"),
@@ -262,10 +263,13 @@ object Extras195 {
       .groupBy(expr("CAST(l_quantity AS INT)").as("qv"))
       .agg(sum(expr("CASE WHEN l_returnflag = 'A' THEN 1L ELSE 0L END")).cast("long").as("l1"),
         sum(expr("CASE WHEN l_returnflag = 'R' THEN 1L ELSE 0L END")).cast("long").as("l2"))
-    val withC1 = graft.plans.GlobalRank
-      .withExclusivePrefixSum(hist, "c1", col("l1"), Seq(col("qv").asc))
-    val withC = graft.plans.GlobalRank
-      .withExclusivePrefixSum(withC1, "c2", col("l2"), Seq(col("qv").asc))
+    // ≤50-bucket agg-bounded frame: both exclusive prefixes from one
+    // single-task window pass (plan-gate-legal)
+    val wref = org.apache.spark.sql.expressions.Window.orderBy(col("qv").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val withC = hist
+      .withColumn("c1", coalesce(sum(col("l1")).over(wref), lit(0L)).cast("long"))
+      .withColumn("c2", coalesce(sum(col("l2")).over(wref), lit(0L)).cast("long"))
     val tot = hist.agg(sum(col("l1")).cast("long").as("n1"), sum(col("l2")).cast("long").as("n2"))
     // ×2 placements: P2(v) = 2·(#R < v) + (#R = v); Q2(v) symmetric
     val pl = withC.crossJoin(broadcast(tot))

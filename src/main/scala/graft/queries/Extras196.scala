@@ -281,8 +281,10 @@ object Extras196 {
       .distinct()
     val hist = edges.groupBy("src").agg(count(lit(1)).cast("long").as("deg"))
       .groupBy("deg").agg(count(lit(1)).cast("long").as("m"))
-    val withC = graft.plans.GlobalRank
-      .withExclusivePrefixSum(hist, "c", col("m"), Seq(col("deg").asc))
+    // tiny degree histogram (agg-bounded): single-task exclusive window
+    val withC = hist.withColumn("c", coalesce(sum(col("m")).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("deg").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)), lit(0L)).cast("long"))
     val tot = hist.agg(sum(col("m")).cast("long").as("nn"),
       sum(expr("deg * m")).cast("decimal(38,0)").as("sd"))
     // Σ_{i=c+1}^{c+m} (2i − n − 1) = m·(2c + m − n)  (arithmetic series)
