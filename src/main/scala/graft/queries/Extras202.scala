@@ -27,20 +27,18 @@ object Extras202 {
   def embedCosineEuclidConcordance(s: SparkSession, d: String): DataFrame = {
     val q = embeddings(s, d).select(col("vec_id"),
       expr("transform(embedding, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT))").as("qv"))
+      // own-norm hoisted BEFORE the pair fan-out (it is per-vector, not per-pair)
+      .withColumn("nq", expr("aggregate(transform(qv, a -> a * a), 0L, (acc, x) -> acc + x)"))
     val probes = q.filter(col("vec_id") < 100)
       .select(col("vec_id").as("pid"), col("qv").as("pv")).limit(128)
     val pairs = q.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("pid"))
       .select(col("pid"), col("vec_id"),
-        expr(
-          """aggregate(zip_with(qv, pv, (a, b) -> CAST(a AS DECIMAL(38,0)) * b),
-            |CAST(0 AS DECIMAL(38,0)), (acc, x) -> acc + x)""".stripMargin).as("dot"),
-        expr(
-          """aggregate(zip_with(qv, pv, (a, b) -> CAST(a - b AS DECIMAL(38,0)) * (a - b)),
-            |CAST(0 AS DECIMAL(38,0)), (acc, x) -> acc + x)""".stripMargin).as("sq"),
-        expr(
-          """aggregate(transform(qv, a -> CAST(a AS DECIMAL(38,0)) * a),
-            |CAST(0 AS DECIMAL(38,0)), (acc, x) -> acc + x)""".stripMargin).as("nq"))
+        // BIGINT accumulators: |q| <= ~6e5 so Σ64 q² <= ~2.2e13 — exact in
+        // long, and ~10x faster than Decimal in the interpreted HOF path
+        expr("aggregate(zip_with(qv, pv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)").as("dot"),
+        expr("aggregate(zip_with(qv, pv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)").as("sq"),
+        col("nq"))
     val wc = org.apache.spark.sql.expressions.Window.partitionBy("pid")
       .orderBy(expr("CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE))").desc, col("vec_id").asc)
     val we = org.apache.spark.sql.expressions.Window.partitionBy("pid")
@@ -65,16 +63,17 @@ object Extras202 {
   val embedCosineEuclidConcordanceSql: String =
     """WITH q AS (
       |  SELECT vec_id,
-      |    list_transform(embedding, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS qv
+      |    list_transform(embedding, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS qv,
+      |    CAST(list_sum(list_transform(list_transform(embedding, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)), a -> a * a)) AS BIGINT) AS nq
       |  FROM embeddings),
       |probes AS (SELECT vec_id AS pid, qv AS pv FROM q WHERE vec_id < 100),
       |pairs AS (
       |  SELECT p.pid, q.vec_id,
-      |    list_sum(list_transform(list_zip(q.qv, p.pv),
-      |      z -> CAST(z[1] AS DECIMAL(38,0)) * z[2])) AS dot,
-      |    list_sum(list_transform(list_zip(q.qv, p.pv),
-      |      z -> CAST(z[1] - z[2] AS DECIMAL(38,0)) * (z[1] - z[2]))) AS sq,
-      |    list_sum(list_transform(q.qv, a -> CAST(a AS DECIMAL(38,0)) * a)) AS nq
+      |    CAST(list_sum(list_transform(list_zip(q.qv, p.pv),
+      |      z -> z[1] * z[2])) AS BIGINT) AS dot,
+      |    CAST(list_sum(list_transform(list_zip(q.qv, p.pv),
+      |      z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS sq,
+      |    q.nq
       |  FROM q, probes p WHERE q.vec_id <> p.pid),
       |ranked AS (
       |  SELECT pid, vec_id,
