@@ -27,8 +27,10 @@ object Extras190 {
     * (p_k ≤ p_obs) is an integer comparison — no FP tie ambiguity.
     * The p-value itself sums per-k probabilities quantized ·10⁹.
     * Scale: the support and the ln-factorial spine are O(n) rows
-    * through the range-partitioned prefix sum; everything else is
-    * broadcast 1-row frames.
+    * through the range-partitioned prefix sum, GENERATED in ≤64k-row
+    * chunks distributed across tasks (ChunkedRange — never one
+    * n-element array in a single task); everything else is broadcast
+    * 1-row frames.
     */
   def statFisherExact(s: SparkSession, d: String): DataFrame = {
     val cells = orders(s, d).agg(
@@ -36,7 +38,9 @@ object Extras190 {
       sum(expr("CASE WHEN o_orderpriority = '1-URGENT' THEN 1L ELSE 0L END")).cast("long").as("r1"),
       sum(expr("CASE WHEN o_orderstatus = 'F' THEN 1L ELSE 0L END")).cast("long").as("c1"),
       count(lit(1)).cast("long").as("n"))
-    val lf0 = cells.select(explode(expr("sequence(0L, n)")).as("i"))
+    val lf0 = graft.functions.ChunkedRange
+      .explodeRange(cells.select(col("n")), lit(0L), col("n"), "i")
+      .select(col("i"))
       .withColumn("lnq", expr(
         "CASE WHEN i < 2 THEN 0L ELSE CAST(floor(ln(CAST(i AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) END"))
     val lfc = graft.plans.GlobalRank

@@ -291,7 +291,10 @@ object Extras197 {
       .select(expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").as("cv"),
         col("o_orderkey").as("okey"))
     val tot = base.agg(count(lit(1)).cast("long").as("n"))
-    val lf0 = tot.select(col("n"), explode(expr("sequence(0L, n)")).as("i"))
+    // spine generated in ≤64k-row distributed chunks (ChunkedRange),
+    // never one n-element array in a single task
+    val lf0 = graft.functions.ChunkedRange
+      .explodeRange(tot, lit(0L), col("n"), "i")
       .withColumn("lnq", expr(
         "CASE WHEN i < 2 THEN 0L ELSE CAST(floor(ln(CAST(i AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) END"))
     val lfc = graft.plans.GlobalRank
@@ -313,10 +316,11 @@ object Extras197 {
         expr(
           """CAST(floor(exp((CAST(lfn AS DOUBLE) - lfs) / 1e6
             |- nn * ln(CAST(2 AS DOUBLE))) * 1e12 + 0.5) AS BIGINT)""".stripMargin).as("pq"))
-    val wcum = org.apache.spark.sql.expressions.Window.orderBy(col("j").asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val kstar = binom
-      .withColumn("cum", coalesce(sum(col("pq")).over(wcum), lit(0L)).cast("long"))
+    // the binomial-tail cum runs over the O(n)-key j frame — route it
+    // onto the range-partitioned two-pass prefix sum (exactly like the
+    // ln-factorial spine above), never a single-task global window
+    val kstar = graft.plans.GlobalRank
+      .withExclusivePrefixSum(binom, "cum", col("pq"), Seq(col("j").asc))
       .filter(expr("cum <= CAST(0.025 * 1e12 AS BIGINT)"))
       .agg(max(col("j")).cast("long").as("k"), max(col("nn")).as("n"))
     val ranked = graft.plans.GlobalRank

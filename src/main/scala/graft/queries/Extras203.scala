@@ -127,16 +127,21 @@ object Extras203 {
         |  / ((CAST(i AS DOUBLE) / ($ns + 1)) * (1 - CAST(i AS DOUBLE) / ($ns + 1))
         |     * CAST($no AS DOUBLE) * ($ns + $no) / $ns)
         |  * 1e6 + 0.5) AS BIGINT)""".stripMargin
-    val b1 = blocks.crossJoin(broadcast(tot))
-      .filter(col("l1") > 0)
-      .select(col("r2"), col("n1"), col("n2"),
-        explode(expr("sequence(c1 + 1, c1 + l1)")).as("i"))
+    // per-block position ranges are O(n/50) long at corpus scale —
+    // generate them in ≤64k-element distributed chunks (ChunkedRange),
+    // never one block-length array per row
+    val b1 = graft.functions.ChunkedRange
+      .explodeRange(
+        blocks.crossJoin(broadcast(tot)).filter(col("l1") > 0)
+          .select(col("r2"), col("n1"), col("n2"), col("c1"), col("l1")),
+        expr("c1 + 1"), expr("c1 + l1"), "i")
       .select(expr(bTerm("c1", "l1", "n1", "n2")).as("tq"))
       .agg(sum(col("tq")).cast("long").as("s1"))
-    val b2 = blocks.crossJoin(broadcast(tot))
-      .filter(col("l2") > 0)
-      .select(col("r2"), col("n1"), col("n2"),
-        explode(expr("sequence(c2 + 1, c2 + l2)")).as("i"))
+    val b2 = graft.functions.ChunkedRange
+      .explodeRange(
+        blocks.crossJoin(broadcast(tot)).filter(col("l2") > 0)
+          .select(col("r2"), col("n1"), col("n2"), col("c2"), col("l2")),
+        expr("c2 + 1"), expr("c2 + l2"), "i")
       .select(expr(bTerm("c2", "l2", "n2", "n1")).as("tq"))
       .agg(sum(col("tq")).cast("long").as("s2"))
     b1.crossJoin(broadcast(b2)).crossJoin(broadcast(tot))
