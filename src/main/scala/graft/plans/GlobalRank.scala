@@ -141,6 +141,40 @@ object GlobalRank {
       .drop("_gsum_pid", "_gsum_v", "_gsum_off")
   }
 
+  /** Add `maxCol` = the EXCLUSIVE global prefix-max of `valueCol` in
+    * the total order given by `sortExprs` (tie-free — include a unique
+    * key): for each row, the max of `valueCol` over all
+    * strictly-preceding rows, NULL for the first. The distributed
+    * generalization of `max(v) OVER (ORDER BY k ROWS UNBOUNDED
+    * PRECEDING TO 1 PRECEDING)` — the running-best shape skyline /
+    * Pareto-front scans need — which Spark otherwise executes as a
+    * single-partition window. Same two-pass plan as the prefix sum:
+    * per-partition max → prefix-max offsets over ≤N_partitions rows →
+    * broadcast back → local partitioned running max combined with
+    * `greatest` (which skips the NULL offset of the first partition).
+    * Bit-identical to the global window for any orderable type.
+    */
+  def withExclusivePrefixMax(df: DataFrame, maxCol: String, valueCol: Column,
+      sortExprs: Seq[Column], partitions: Int = 32): DataFrame = {
+    val ranged = pinned(df.repartitionByRange(partitions, sortExprs: _*)
+      .withColumn("_gmax_pid", spark_partition_id())
+      .withColumn("_gmax_v", valueCol))
+    val perPart = ranged.groupBy("_gmax_pid")
+      .agg(max(col("_gmax_v")).as("_gmax_pmax"))
+    val offsets = perPart
+      .withColumn("_gmax_off",
+        max(col("_gmax_pmax")).over(
+          Window.orderBy("_gmax_pid").rowsBetween(Window.unboundedPreceding, -1)))
+      .select("_gmax_pid", "_gmax_off")
+    val wLocal = Window.partitionBy("_gmax_pid").orderBy(sortExprs: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .join(broadcast(offsets), "_gmax_pid")
+      .withColumn(maxCol,
+        greatest(col("_gmax_off"), max(col("_gmax_v")).over(wLocal)))
+      .drop("_gmax_pid", "_gmax_v", "_gmax_off")
+  }
+
   private def ranked(df: DataFrame, rnCol: String, totalCol: Option[String],
       sortExprs: Seq[Column], partitions: Int): DataFrame = {
     val ranged = pinned(df.repartitionByRange(partitions, sortExprs: _*)

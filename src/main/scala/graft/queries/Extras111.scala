@@ -67,8 +67,11 @@ object Extras111 {
     * 1 PRECEDING on exact integer cents — identical frame semantics in
     * both engines) AND it holds the max qty within its own cost tie
     * group. Both dimensions are exact longs (decimal cents path), so
-    * every comparison is integer. O(n log n) in suppliers — and
-    * suppliers are a dimension, not the fact table.
+    * every comparison is integer. O(n log n) in suppliers — but
+    * suppliers GROW with the corpus (sf×10k), so the running max over
+    * strictly-cheaper points runs on GlobalRank's range-partitioned
+    * two-pass prefix-max over the per-cost-group frame, never a
+    * single-task global RANGE window (r12 plan-gate hardening).
     */
   def analyticsSkylineSuppliers(s: SparkSession, d: String): DataFrame = {
     val sup = lineitem(s, d)
@@ -76,12 +79,13 @@ object Extras111 {
       .agg(sum((col("l_extendedprice").cast("decimal(14,2)") * 100)
           .cast("long")).as("cost_cents"),
         sum(col("l_quantity").cast("decimal(14,2)").cast("long")).as("qty"))
-    val wLess = Window.orderBy(col("cost_cents"))
-      .rangeBetween(Window.unboundedPreceding, -1)
-    val wEq = Window.partitionBy("cost_cents")
-    sup
-      .withColumn("best_cheaper", max(col("qty")).over(wLess))
-      .withColumn("best_tie", max(col("qty")).over(wEq))
+    // one row per distinct cost (best_tie = max qty in the tie group);
+    // exclusive prefix-max over the unique-cost order == max over all
+    // STRICTLY cheaper points — the RANGE-to-1-PRECEDING semantics
+    val grp = sup.groupBy("cost_cents").agg(max(col("qty")).as("best_tie"))
+    val withBest = graft.plans.GlobalRank.withExclusivePrefixMax(
+      grp, "best_cheaper", col("best_tie"), Seq(col("cost_cents").asc))
+    sup.join(withBest, Seq("cost_cents"))
       .filter(col("qty") > coalesce(col("best_cheaper"), lit(Long.MinValue))
         && col("qty") === col("best_tie"))
       .select(col("l_suppkey"), col("cost_cents"), col("qty"))

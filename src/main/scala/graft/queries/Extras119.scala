@@ -27,7 +27,11 @@ object Extras119 {
       .orderBy(col("cnt").desc, col("term").asc)
     val wc = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val total = counts.agg(sum(col("cnt")).cast("long").as("total"))
-    counts
+    // only ranks <= 100 survive the filter: pre-prune the O(vocab)
+    // frame with a distributed top-k (TakeOrderedAndProject — map-side
+    // partial top-100 per partition), so the rank/cum window runs over
+    // a LIMIT-bounded 100-row frame, never the whole vocabulary
+    counts.orderBy(col("cnt").desc, col("term").asc).limit(100)
       .withColumn("rk", row_number().over(w).cast("long"))
       .withColumn("cum", sum(col("cnt")).over(wc).cast("long"))
       .filter(col("rk").isin(1L, 5L, 10L, 25L, 100L))

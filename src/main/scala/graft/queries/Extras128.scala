@@ -108,8 +108,8 @@ object Extras128 {
     * sums (bit-equal cross-engine); |d| ranks on the (|d|, user_id)
     * TOTAL order — the deterministic-total-order convention the fleet
     * uses in place of midranks, identical in both engines. The rank
-    * window sits above the per-user aggregate (bounded input), and W⁺
-    * is an exact BIGINT.
+    * runs on GlobalRank's two-pass range-partitioned row number (the
+    * per-user frame GROWS with the corpus), and W⁺ is an exact BIGINT.
     */
   def statWilcoxonSignedRank(s: SparkSession, d: String): DataFrame = {
     val per = events(s, d)
@@ -127,9 +127,10 @@ object Extras128 {
       .filter(col("nc") > 0 && col("nv") > 0)
       .withColumn("diff", expr("CAST(sc AS DOUBLE) / nc - CAST(sv AS DOUBLE) / nv"))
       .filter(col("diff") =!= 0.0)
-    per
-      .withColumn("rk", row_number().over(
-        Window.orderBy(abs(col("diff")), col("user_id"))).cast("long"))
+    // users grow with the corpus: |d| ranks on GlobalRank's two-pass
+    // range-partitioned row number, never a single-task global window
+    graft.plans.GlobalRank.withGlobalRowNumber(per, "rk",
+        Seq(abs(col("diff")).asc, col("user_id").asc))
       .agg(
         count(lit(1)).cast("long").as("n"),
         sum(when(col("diff") > 0, col("rk")).otherwise(0L)).cast("long").as("w_plus"))

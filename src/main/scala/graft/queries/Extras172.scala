@@ -214,8 +214,11 @@ object Extras172 {
       .filter(length(col("tok")) > 0)
       .groupBy("tok")
       .agg(min(col("doc_id")).as("first_doc"))
+    // full clamp (greatest is a no-op: first_doc >= 0) so the plan
+    // gate can PROVE the decile domain ⊆ [0, 9] — bounded frame below
+    // the cumulative window
     val perBucket = firstDoc
-      .groupBy(expr(s"least(first_doc * 10 div $nDocs, 9)").as("decile"))
+      .groupBy(expr(s"least(greatest(first_doc * 10 div $nDocs, 0L), 9L)").as("decile"))
       .agg(count(lit(1)).cast("long").as("new_types"))
     val wp = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
     perBucket
@@ -232,7 +235,7 @@ object Extras172 {
       |firstdoc AS (
       |  SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY 1),
       |perbucket AS (
-      |  SELECT least(first_doc * 10 // n, 9) AS decile,
+      |  SELECT least(greatest(first_doc * 10 // n, 0), 9) AS decile,
       |    CAST(count(*) AS BIGINT) AS new_types
       |  FROM firstdoc, nd GROUP BY 1)
       |SELECT CAST(decile AS BIGINT) AS decile, new_types,

@@ -179,9 +179,13 @@ object Extras185 {
   def statMeanExcess(s: SparkSession, d: String): DataFrame = {
     val v = orders(s, d)
       .select(expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").as("c"))
+    // near-unique cent-value histogram (corpus-scale keys): inclusive
+    // cum via GlobalRank's two-pass prefix sum, never a single-task
+    // global window (r12 plan-gate hardening)
     val hist = v.groupBy("c").agg(count(lit(1)).cast("long").as("w"))
-    val withCl = hist
-      .withColumn("cl", sum(col("w")).over(Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)))
+    val withCl = graft.plans.GlobalRank
+      .withExclusivePrefixSum(hist, "cl0", col("w"), Seq(col("c").asc))
+      .withColumn("cl", col("cl0") + col("w"))
       .crossJoin(broadcast(hist.agg(sum(col("w")).cast("long").as("n"))))
     val thresholds = withCl.agg(
       min(expr("CASE WHEN 100 * cl >= 50 * n THEN c END")).as("u50"),

@@ -89,10 +89,12 @@ object Extras188 {
     // bounded driver-side scalar (same idiom as the graph rows' n)
     val y2 = byYear.agg(max(col("yr"))).head().getInt(0)
     val y1 = y2 - 1
+    // suppliers grow with the corpus: rank on GlobalRank's two-pass
+    // range-partitioned row number, never a single-task global window
     def ranked(y: Int, rcol: String) =
-      byYear.filter(col("yr") === y)
-        .withColumn(rcol, row_number()
-          .over(Window.orderBy(col("c").desc, col("l_suppkey").asc)).cast("long"))
+      graft.plans.GlobalRank.withGlobalRowNumber(
+          byYear.filter(col("yr") === y), rcol,
+          Seq(col("c").desc, col("l_suppkey").asc))
         .select(col("l_suppkey"), col(rcol))
     val j = ranked(y1, "r1").join(ranked(y2, "r2"), Seq("l_suppkey"))
     j.agg(count(lit(1)).cast("long").as("m"),
@@ -140,10 +142,15 @@ object Extras188 {
       .join(orders(s, d).select(col("o_orderkey").as("l_orderkey"),
         expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").as("c")),
         Seq("l_orderkey"))
+    // the c-margin histogram is keyed by near-unique order-total cents
+    // (corpus-scale): its cumulative runs on GlobalRank's two-pass
+    // prefix sum, never a single-task global window (inclusive cum =
+    // exclusive prefix + own weight, exact longs)
     def medianOf(colName: String): DataFrame = {
       val hist = per.groupBy(colName).agg(count(lit(1)).cast("long").as("w"))
-      val wp = Window.orderBy(colName).rowsBetween(Window.unboundedPreceding, 0)
-      hist.withColumn("cl", sum(col("w")).over(wp))
+      graft.plans.GlobalRank
+        .withExclusivePrefixSum(hist, "cl0", col("w"), Seq(col(colName).asc))
+        .withColumn("cl", col("cl0") + col("w"))
         .crossJoin(broadcast(hist.agg(sum(col("w")).cast("long").as("n"))))
         .agg(min(expr(s"CASE WHEN 2 * cl >= n THEN $colName END")).as(s"med_$colName"))
     }

@@ -198,7 +198,9 @@ object Extras191 {
       .groupBy(col("c_nationkey").as("nk"))
       .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)")).cast("long").as("y"))
     val pts = cust.join(rev, Seq("nk")).select("nk", "x", "y")
-    val other = pts.select(col("x").as("xj"), col("y").as("yj")).limit(64)
+    val other = graft.functions.BoundedDim.capped(
+      pts.select(col("x").as("xj"), col("y").as("yj")),
+      64, "Hoeffding-D nation frame (25 nations)")
     val ranked = pts.crossJoin(broadcast(other))
       .groupBy("nk")
       .agg(sum(expr("CASE WHEN xj < x THEN 1L ELSE 0L END")).cast("long").as("rm1"),

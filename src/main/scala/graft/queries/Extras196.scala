@@ -34,7 +34,9 @@ object Extras196 {
       .groupBy(col("c_nationkey").as("nk"))
       .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)")).cast("long").as("y"))
     val pts = cust.join(rev, Seq("nk"))
-    val other = pts.select(col("nk").as("nk2"), col("x").as("x2"), col("y").as("y2")).limit(64)
+    val other = graft.functions.BoundedDim.capped(
+      pts.select(col("nk").as("nk2"), col("x").as("x2"), col("y").as("y2")),
+      64, "distance-corr nation frame (25 nations)")
     val pairs = pts.crossJoin(broadcast(other))
       .select(col("nk"), col("nk2"),
         expr("abs(x - x2)").as("a"), expr("abs(y - y2)").as("b"))
@@ -119,7 +121,9 @@ object Extras196 {
       .groupBy(expr("CAST(l_quantity AS INT)").as("qv"))
       .agg(sum(expr("CASE WHEN l_returnflag = 'A' THEN 1L ELSE 0L END")).cast("long").as("l1"),
         sum(expr("CASE WHEN l_returnflag = 'R' THEN 1L ELSE 0L END")).cast("long").as("l2"))
-    val other = hist.select(col("qv").as("qv2"), col("l1").as("m1"), col("l2").as("m2")).limit(64)
+    val other = graft.functions.BoundedDim.capped(
+      hist.select(col("qv").as("qv2"), col("l1").as("m1"), col("l2").as("m2")),
+      64, "energy-test quantity histogram (50 integer quantities)")
     val pairs = hist.crossJoin(broadcast(other))
       .agg(
         sum(expr("CAST(l1 AS DECIMAL(38,0)) * m2 * abs(qv - qv2)")).cast("decimal(38,0)").as("sxy"),

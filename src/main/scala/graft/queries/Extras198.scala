@@ -64,7 +64,9 @@ object Extras198 {
     */
   def statPassingBablok(s: SparkSession, d: String): DataFrame = {
     val bp = brandPrices(s, d)
-    val other = bp.select(col("brand").as("brand2"), col("x").as("x2"), col("y").as("y2")).limit(64)
+    val other = graft.functions.BoundedDim.capped(
+      bp.select(col("brand").as("brand2"), col("x").as("x2"), col("y").as("y2")),
+      64, "Passing-Bablok brand frame (25 brands)")
     val slopes = bp.crossJoin(broadcast(other))
       .filter(expr("brand < brand2 AND x <> x2"))
       .select(expr("(y2 - y) / (x2 - x)").as("sl"), col("brand"), col("brand2"))

@@ -42,10 +42,16 @@ object Extras201 {
       // n_t·E_t = dt·n1t exactly (the n_t cancels the denominator!)
       .withColumn("we", expr("CAST(dt AS DECIMAL(38,0)) * n1t"))
       .withColumn("wo", expr("CAST(nt AS DECIMAL(38,0)) * d1t"))
+      // the textbook form has nt² in both numerator (w_t² = nt²) and
+      // denominator — cancel ONE nt exactly before evaluating, so the
+      // integer div is unchanged (same rational) while the peak
+      // magnitude drops from ~nt⁵ to ~nt⁴/16: ≈8e31 at sf1, safe in
+      // DECIMAL(38,0)/HUGEINT through sf10 (≈8e35); sf100 would
+      // overflow — re-quantize before going there.
       .withColumn("wv6", expr(
         """CASE WHEN nt > 1 THEN
-          |  (CAST(dt AS DECIMAL(38,0)) * n1t * (nt - n1t) * (nt - dt) * nt * 1000000)
-          |    div (CAST(nt AS DECIMAL(38,0)) * nt * (nt - 1))
+          |  (CAST(dt AS DECIMAL(38,0)) * n1t * (nt - n1t) * (nt - dt) * 1000000)
+          |    div (CAST(nt AS DECIMAL(38,0)) * (nt - 1))
           |ELSE CAST(0 AS DECIMAL(38,0)) END""".stripMargin))
     risk.agg(count(lit(1)).cast("long").as("n_times"),
         sum(col("wo")).cast("decimal(38,0)").as("swo"),
@@ -76,8 +82,8 @@ object Extras201 {
       |    CAST(nt AS HUGEINT) * d1t AS wo,
       |    CAST(dt AS HUGEINT) * n1t AS we,
       |    CASE WHEN nt > 1 THEN
-      |      CAST(CAST(dt AS HUGEINT) * n1t * (nt - n1t) * (nt - dt) * nt * 1000000 AS HUGEINT)
-      |        // (CAST(nt AS HUGEINT) * nt * (nt - 1))
+      |      CAST(CAST(dt AS HUGEINT) * n1t * (nt - n1t) * (nt - dt) * 1000000 AS HUGEINT)
+      |        // (CAST(nt AS HUGEINT) * (nt - 1))
       |    ELSE CAST(0 AS HUGEINT) END AS wv6
       |  FROM risk),
       |m AS (

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, DateDiff, DayOfMonth, DayOfWeek, DayOfYear, ExprId, Expression, Hour, Literal, Minute, Month, MonthsBetween, Pmod, Quarter, Remainder, Second, SparkPartitionID, Substring, TruncDate, TruncTimestamp, WeekDay, WeekOfYear, Year}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, First, Last, Max, Min}
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
@@ -24,14 +26,21 @@ import org.apache.spark.sql.execution.{BaseSubqueryExec, CollectLimitExec, Globa
   *     can't prove). Anything else is an accidental corpus-scale
   *     nested loop.
   *  3. `WindowExec` / `WindowGroupLimitExec` with an EMPTY partition
-  *     spec whose input subtree contains NO aggregation and NO limit —
-  *     i.e. a single-task global window over a corpus-scale frame.
-  *     An aggregate or limit below the window bounds its input (the
-  *     bounded-frame shapes rounds 3–8 hand-audited: GlobalRank's
-  *     ≤N_partitions offset window over per-partition aggregates,
-  *     per-lang 5-row frames over group-bys); those stay legal without
-  *     listing. The whitelist is only for justified exceptions with no
-  *     such node.
+  *     spec whose input subtree contains NO limit and NO aggregation
+  *     with a PROVABLY BOUNDED key domain — i.e. a single-task global
+  *     window over a frame that grows with the corpus. Until r11 ANY
+  *     aggregate below legalized the window, which let an O(n)-key
+  *     single-task window through (`stat_median_ci_exact`'s binomial
+  *     cum over groupBy(j), j = 0..|orders| — the r11 verdict finding).
+  *     Now the aggregate's grouping keys must be corpus-INDEPENDENT by
+  *     construction: calendar expressions (a 100× corpus over the same
+  *     date span adds rows, not days), spark_partition_id (GlobalRank's
+  *     ≤N_partitions frames), fixed-enum data-model columns from the
+  *     declared dictionary below (the catalog metadata a real
+  *     deployment would carry), and arbitrary deterministic functions
+  *     of those (bounded inputs ⇒ bounded output). Everything else —
+  *     value ranks, per-entity keys, histogram counts — must either be
+  *     rewritten onto GlobalRank or carry a cited whitelist entry.
   *
   * This converts the 173 benign-but-hand-audited `WindowExec: No
   * Partition Defined` warnings from "audited in rounds 3–8" into a
@@ -51,13 +60,42 @@ class PlanInvariantSpec extends SparkSpec {
   private val globalWindowWhitelist: Map[String, String] =
     PlanInvariantSpec.globalWindowWhitelist
 
-  private def hasBoundingNodeBelow(p: SparkPlan): Boolean =
+  private def hasBoundingNodeBelow(p: SparkPlan, aliases: Map[ExprId, Expression]): Boolean =
     p.exists {
-      case _: BaseAggregateExec => true
+      case a: BaseAggregateExec =>
+        a.groupingExpressions.isEmpty ||
+          a.groupingExpressions.forall(g =>
+            PlanInvariantSpec.isBoundedDomain(PlanInvariantSpec.resolveAliases(g, aliases)))
       case _: GlobalLimitExec | _: LocalLimitExec => true
       case _: CollectLimitExec | _: TakeOrderedAndProjectExec => true
       case _ => false
     }
+
+  /** exprId -> defining expression, collected from every Project,
+    * aggregate result list, and window expression list in the plan —
+    * lets the bounded-domain check see through `hour(ts) AS h`-style
+    * aliasing between the grouping and the source expression.
+    */
+  private def aliasMap(nodes: Seq[SparkPlan]): Map[ExprId, Expression] =
+    nodes.flatMap {
+      case p: org.apache.spark.sql.execution.ProjectExec =>
+        p.projectList.collect { case a: Alias => a.exprId -> a.child }
+      case a: BaseAggregateExec =>
+        a.resultExpressions.collect { case al: Alias => al.exprId -> al.child } ++
+          // result attributes of the aggregate functions themselves, so
+          // `min(date_trunc(...))` resolves to Min(TruncTimestamp(...))
+          // instead of dead-ending at an opaque attribute
+          a.aggregateExpressions.map(ae => ae.resultAttribute.exprId -> (ae: Expression))
+      case w: WindowExec =>
+        w.windowExpression.collect { case al: Alias => al.exprId -> al.child }
+      case g: org.apache.spark.sql.execution.GenerateExec =>
+        // map explode/sequence outputs to the generator itself, so
+        // exploding a literal grid (array(-1.0, ..., 1.0), sequence(0,
+        // 31)) proves bounded through the closure rule, while exploding
+        // corpus data stays unproven
+        g.generatorOutput.map(a => a.exprId -> (g.generator: Expression))
+      case _ => Seq.empty[(ExprId, Expression)]
+    }.toMap
 
   /** Every physical node in the plan, descending through AQE wrappers
     * and planned subquery expressions (both of which plain
@@ -97,7 +135,9 @@ class PlanInvariantSpec extends SparkSpec {
         }
       if (plan != null) {
         checked += 1
-        allNodes(plan).foreach {
+        val nodes = allNodes(plan)
+        val aliases = aliasMap(nodes)
+        nodes.foreach {
           case _: CartesianProductExec =>
             violations += s"$name: CartesianProductExec (never allowed)"
           case j: BroadcastNestedLoopJoinExec =>
@@ -116,14 +156,14 @@ class PlanInvariantSpec extends SparkSpec {
               else violations += s"$name: unlisted BroadcastNestedLoopJoinExec (${j.joinType}) with non-scalar broadcast side"
             }
           case w: WindowExec if w.partitionSpec.isEmpty =>
-            if (!hasBoundingNodeBelow(w.child)) {
+            if (!hasBoundingNodeBelow(w.child, aliases)) {
               if (globalWindowWhitelist.contains(name)) usedGw += name
-              else violations += s"$name: empty-partition WindowExec over non-aggregated input"
+              else violations += s"$name: empty-partition WindowExec without a provably bounded frame below"
             }
           case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
-            if (!hasBoundingNodeBelow(w.child)) {
+            if (!hasBoundingNodeBelow(w.child, aliases)) {
               if (globalWindowWhitelist.contains(name)) usedGw += name
-              else violations += s"$name: empty-partition WindowGroupLimitExec over non-aggregated input"
+              else violations += s"$name: empty-partition WindowGroupLimitExec without a provably bounded frame below"
             }
           case _ => ()
         }
@@ -139,9 +179,173 @@ class PlanInvariantSpec extends SparkSpec {
     assert(violations.isEmpty,
       s"${violations.size} plan-invariant violations:\n  ${violations.mkString("\n  ")}")
   }
+
+  /** The r11 verdict's gate gap, pinned as a unit contract: the old
+    * "any aggregate below" rule legalized `stat_median_ci_exact`'s
+    * binomial cum — a global window over a groupBy whose key count is
+    * O(corpus). The hardened rule must FLAG that shape and still
+    * ACCEPT the audited bounded shapes (modular buckets, clamps,
+    * literal grids).
+    */
+  test("hardened global-window rule: flags O(n)-key frames, accepts provably bounded ones") {
+    import org.apache.spark.sql.functions._
+    val w = org.apache.spark.sql.expressions.Window.orderBy("k")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    def windowPasses(df: org.apache.spark.sql.DataFrame): Boolean = {
+      val nodes = allNodes(df.queryExecution.executedPlan)
+      val aliases = aliasMap(nodes)
+      val wins = nodes.collect { case we: WindowExec if we.partitionSpec.isEmpty => we }
+      assert(wins.nonEmpty, "test shape must plan an empty-partition WindowExec")
+      wins.forall(we => hasBoundingNodeBelow(we.child, aliases))
+    }
+    val base = spark.range(1000).toDF("id")
+    // pre-fix stat_median_ci_exact shape: corpus-scale grouping key
+    val bad = base.groupBy(col("id").as("k")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(w))
+    assert(!windowPasses(bad), "O(n)-key aggregate frame must be flagged")
+    // 24-bucket modular histogram (the hour-bin analogue)
+    val modular = base.groupBy(pmod(col("id"), lit(24L)).as("k")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(w))
+    assert(windowPasses(modular), "bounded modular buckets must stay legal")
+    // provable clamp (the text_vocab_growth_curve decile shape)
+    val clamped = base.groupBy(least(greatest(col("id") - 500, lit(0L)), lit(9L)).as("k"))
+      .agg(count(lit(1)).as("c")).withColumn("cum", sum(col("c")).over(w))
+    assert(windowPasses(clamped), "literal clamp must stay legal")
+    // literal-grid explode (the box-cox / bootstrap-replicate shape)
+    val grid = base.select(col("id"), explode(expr("sequence(0L, 31L)")).as("b"))
+      .groupBy(col("b").as("k")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(w))
+    assert(windowPasses(grid), "literal-sequence explode must stay legal")
+    // corpus explode must NOT be legalized by the generator mapping
+    val corpusGrid = base.select(explode(expr("sequence(0L, id)")).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(w))
+    assert(!windowPasses(corpusGrid), "corpus-derived explode must be flagged")
+  }
 }
 
 object PlanInvariantSpec {
+
+  /** Data-model columns whose value domain is a FIXED enum/dictionary,
+    * independent of corpus size — the catalog metadata a production
+    * deployment declares on its dimensions. Grouping on one of these
+    * (or any deterministic function of them) yields a frame that does
+    * NOT grow at 100×. Bounds are the testdata generator's (TPC-H
+    * spec domains for the TPC-H-ish tables; the documents/events
+    * generators' enums).
+    */
+  val boundedDomainColumns: Map[String, String] = Map(
+    "l_returnflag" -> "3-value flag {A,N,R}",
+    "l_linestatus" -> "2-value flag {O,F}",
+    "l_shipmode" -> "7 ship modes",
+    "l_shipinstruct" -> "4 instructions",
+    "l_quantity" -> "integer 1..50 (TPC-H spec 4.2.3)",
+    "l_discount" -> "11 cent values 0.00..0.10",
+    "l_tax" -> "9 cent values 0.00..0.08",
+    "l_linenumber" -> "integer 1..7",
+    "o_orderstatus" -> "3-value flag {F,O,P}",
+    "o_orderpriority" -> "5 priorities",
+    "o_shippriority" -> "single value 0",
+    "p_brand" -> "25 brands (Brand#11..#55)",
+    "p_size" -> "integer 1..50",
+    "p_container" -> "40 containers",
+    "p_mfgr" -> "5 manufacturers",
+    "c_mktsegment" -> "5 segments",
+    "c_nationkey" -> "25 nations",
+    "s_nationkey" -> "25 nations",
+    "n_nationkey" -> "25 nations",
+    "n_regionkey" -> "5 regions",
+    "r_regionkey" -> "5 regions",
+    "n_name" -> "25 nations",
+    "r_name" -> "5 regions",
+    "event_type" -> "events generator enum (view/click/cart/purchase)",
+    "lang" -> "documents generator language enum",
+    "source" -> "documents generator source enum",
+    "n_chars" -> "document length in chars, generator-capped (44..~600; 523 distinct at sf0.1, saturating)",
+    // date-valued columns stored as TIMESTAMP_NTZ in the testdata
+    // parquet (day-granular by the data model): domain = the fixed
+    // ~2400-day TPC-H date span, corpus-independent
+    "o_orderdate" -> "day-granular date column, fixed ~2400-day span",
+    "l_shipdate" -> "day-granular date column, fixed span",
+    "l_commitdate" -> "day-granular date column, fixed span",
+    "l_receiptdate" -> "day-granular date column, fixed span",
+    // engine-internal reserved names: produced ONLY by GlobalRank as
+    // spark_partition_id() (GlobalRank.scala:119,147) — the defining
+    // projection is invisible downstream because the ranged frame is
+    // localCheckpoint-pinned (the plan is severed at the checkpoint),
+    // so the bounded proof is carried by the reserved name instead.
+    // Domain ≤ the repartitionByRange partition count.
+    "_gsum_pid" -> "spark_partition_id() <= N_partitions (GlobalRank prefix-sum pass)",
+    "_grank_pid" -> "spark_partition_id() <= N_partitions (GlobalRank rank pass)",
+    "_gmax_pid" -> "spark_partition_id() <= N_partitions (GlobalRank prefix-max pass)")
+
+  /** Substitute attribute references by their defining expressions
+    * (project/aggregate/window aliases), fixpoint-bounded.
+    */
+  def resolveAliases(e: Expression, m: Map[ExprId, Expression], depth: Int = 0): Expression =
+    if (depth > 30 || m.isEmpty) e
+    else e.transformUp {
+      case ar: AttributeReference if m.contains(ar.exprId) =>
+        resolveAliases(m(ar.exprId), m, depth + 1)
+    }
+
+  private val integralTypes: Set[org.apache.spark.sql.types.DataType] = Set(
+    org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+    org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+
+  /** Conservative static proof that an expression's VALUE DOMAIN is
+    * corpus-independent: true only when every path to a leaf ends in a
+    * literal, a calendar expression (fixed date span ⇒ fixed key
+    * count at any corpus size), spark_partition_id (≤ #partitions), a
+    * declared fixed-enum column, or a short hex-bucket substring — and
+    * every combining node is a deterministic function (bounded inputs
+    * ⇒ bounded output; min/max/first/last of a bounded input stay
+    * bounded, sum/count do not). Anything unproven returns false and
+    * must be whitelisted with a citation or rewritten onto GlobalRank.
+    */
+  def isBoundedDomain(e: Expression): Boolean = e match {
+    case _: Literal => true
+    case _: SparkPartitionID => true
+    case a: AttributeReference if boundedDomainColumns.contains(a.name) => true
+    case a: AttributeReference =>
+      a.dataType == org.apache.spark.sql.types.BooleanType ||
+        a.dataType == org.apache.spark.sql.types.DateType
+    case _: Hour | _: Minute | _: Second | _: DayOfWeek | _: WeekDay |
+        _: DayOfMonth | _: DayOfYear | _: Month | _: Quarter |
+        _: WeekOfYear | _: Year => true
+    case _: TruncDate | _: TruncTimestamp => true // calendar-truncated, any unit
+    case _: DateDiff | _: MonthsBetween => true // span of the fixed date range
+    case Pmod(_, _: Literal, _) => true
+    case Remainder(_, _: Literal, _) => true
+    // integral clamp: least(greatest(x, lo), hi) / greatest(least(x,
+    // hi), lo) pins the result into a finite literal interval
+    case l: org.apache.spark.sql.catalyst.expressions.Least
+        if integralTypes.contains(l.dataType) &&
+          l.children.exists(_.isInstanceOf[Literal]) &&
+          l.children.exists {
+            case g: org.apache.spark.sql.catalyst.expressions.Greatest =>
+              g.children.exists(_.isInstanceOf[Literal])
+            case _ => false
+          } => true
+    case g: org.apache.spark.sql.catalyst.expressions.Greatest
+        if integralTypes.contains(g.dataType) &&
+          g.children.exists(_.isInstanceOf[Literal]) &&
+          g.children.exists {
+            case l: org.apache.spark.sql.catalyst.expressions.Least =>
+              l.children.exists(_.isInstanceOf[Literal])
+            case _ => false
+          } => true
+    // ≤2-char substring: ≤65536 distinct values over any charset (the
+    // md5-hex bucket idiom conv(substring(md5(x),1,2),16,10))
+    case Substring(_, _: Literal, Literal(len: Int, _)) if len <= 2 => true
+    case ae: AggregateExpression => ae.aggregateFunction match {
+      case f @ (_: Min | _: Max | _: First | _: Last) => f.children.forall(isBoundedDomain)
+      case _ => false // sum/count/avg domains grow with the corpus
+    }
+    case e if e.dataType == org.apache.spark.sql.types.DateType => true
+    case e if e.children.nonEmpty => e.children.forall(isBoundedDomain)
+    case _ => false
+  }
   // filled from the audited findings of the first gate run (r9); every
   // entry cites the bound that makes the pattern safe at any corpus
   // scale. The scalar-broadcast rule auto-clears the other ~42 rows
@@ -174,8 +378,13 @@ object PlanInvariantSpec {
     "embed_lof_probes" -> "both sides = the FIXED 500-vector probe sample (vec_id < 500, Extras170.scala) - O(1) in the corpus (r11 HOF-distance rewrite)",
   )
 
-  // empty as of r9: every one of the 173 empty-partition windows in the
-  // fleet sits above an aggregate/limit (the bounded-frame shapes the
-  // rule recognizes) — nothing needed a justified exception
-  val globalWindowWhitelist: Map[String, String] = Map.empty
+  // r12 hardening residue: rows whose window frame is bounded by
+  // CONSTRUCTION but not statically provable from the plan — each
+  // entry cites the bound. Everything else that failed the hardened
+  // rule was REWRITTEN (GlobalRank two-pass prefix sum/max/rank,
+  // top-k pre-prune, provable clamp) rather than listed.
+  val globalWindowWhitelist: Map[String, String] = Map(
+    "embed_spectral_decay" -> "frame = per-dim variances from posexplode(embedding): 64 rows (embedding dim is schema metadata, Extras182.scala:29)",
+    "graph_degree_gini" -> "frame = degree histogram of the synthetic 3-arc graph: degree <= ~6 by construction (each node emits exactly 3 arcs, Extras196.scala:278-283)",
+    "win_volume_profile" -> "frame = $100 price buckets of the FIXED TPC-H extendedprice domain (~1050 buckets at any sf, Extras170.scala:168-171)")
 }
