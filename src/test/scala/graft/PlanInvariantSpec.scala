@@ -343,6 +343,8 @@ object PlanInvariantSpec {
       case _ => false // sum/count/avg domains grow with the corpus
     }
     case e if e.dataType == org.apache.spark.sql.types.DateType => true
+    // any boolean-valued expression: domain {true, false, null}
+    case e if e.dataType == org.apache.spark.sql.types.BooleanType => true
     case e if e.children.nonEmpty => e.children.forall(isBoundedDomain)
     case _ => false
   }
@@ -376,6 +378,7 @@ object PlanInvariantSpec {
     "stat_tukey_hsd_matrix" -> "5x5 self-join of the 5-row priority-group aggregate (grp < grp pairs, Extras155.scala) - O(1) in the corpus",
     "embed_hopkins_statistic" -> "broadcast side = the 64-row per-dim [min,max] box frame crossed with the 50 fixed probes (Extras154.scala) - O(1) in the corpus",
     "embed_lof_probes" -> "both sides = the FIXED 500-vector probe sample (vec_id < 500, Extras170.scala) - O(1) in the corpus (r11 HOF-distance rewrite)",
+    "stat_dunn_posthoc" -> "5x5 self-join of the 5-row priority-group rank aggregate (g < g2 pairs, Extras208.scala) - O(1) in the corpus (same shape as stat_tukey_hsd_matrix)",
   )
 
   // r12 hardening residue: rows whose window frame is bounded by
