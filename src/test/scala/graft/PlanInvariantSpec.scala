@@ -379,6 +379,7 @@ object PlanInvariantSpec {
     "embed_hopkins_statistic" -> "broadcast side = the 64-row per-dim [min,max] box frame crossed with the 50 fixed probes (Extras154.scala) - O(1) in the corpus",
     "embed_lof_probes" -> "both sides = the FIXED 500-vector probe sample (vec_id < 500, Extras170.scala) - O(1) in the corpus (r11 HOF-distance rewrite)",
     "stat_dunn_posthoc" -> "5x5 self-join of the 5-row priority-group rank aggregate (g < g2 pairs, Extras208.scala) - O(1) in the corpus (same shape as stat_tukey_hsd_matrix)",
+    "embed_residual_quantize" -> "broadcast sides = 16-row coarse codebook (vec_id < 16) and 17-row residual codebook (16 <= vec_id < 32 plus the zero codeword), Extras210.scala",
   )
 
   // r12 hardening residue: rows whose window frame is bounded by
