@@ -18,8 +18,10 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADDOPENS="$ADDOPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-# the r8 bench's 5 most expensive rows + the AQE skew exhibit
-QS="embed_pca_power,dedup_embed_cosine,dedup_containment,agg_equidepth_histogram,graph_bipartite_projection,join_skew_aqe"
+# r12 refresh (r11 verdict task #6): the r11 bench's most expensive
+# rows — including the post-fix stat_median_ci_exact — + the AQE skew
+# exhibit
+QS="dedup_embed_cosine,dedup_prefix_filter_join,embed_pca_power,embed_cosine_euclid_concordance,stat_median_ci_exact,join_skew_aqe"
 echo "spill exhibit: sf=$SF  heap=2g  local[4]/shuffle.partitions=4" >&2
 SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_CPUS=4 java $ADDOPENS \
   -Xmx2g -XX:ReservedCodeCacheSize=256m \
