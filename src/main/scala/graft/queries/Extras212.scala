@@ -104,6 +104,15 @@ object Extras212 {
     * len/64-bounded lists; chunk identity = md5 of the substring;
     * reports chunk-level dedup ratio vs whole-doc dedup and the mean
     * chunk length. The delta-storage / incremental-dedup primitive.
+    *
+    * Scale note: the noised-sf1 exponent is ≈+1.0 BY DEFINITION —
+    * content-defined chunking must hash every byte, so time is linear
+    * in corpus bytes at fixed cores (local[32] is already saturated at
+    * sf0.1; on a 1000-executor cluster the byte-scan partitions
+    * embarrassingly). The constant was measured against per-position
+    * Horner-polynomial variants in r12 (both HOF and explode forms):
+    * the codegen md5-per-window shipped here is 3–4× FASTER than
+    * either, so it stays.
     */
   def dedupCdcChunking(s: SparkSession, d: String): DataFrame = {
     val base = documents(s, d)

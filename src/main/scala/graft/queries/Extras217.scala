@@ -117,9 +117,11 @@ object Extras217 {
     val calScores = scored.filter(col("cal")).select(col("score"), col("okey"))
     val ranked = graft.plans.GlobalRank.withGlobalRowNumberAndTotal(
       calScores, "rn", "nc", Seq(col("score").asc, col("okey").asc))
+    // the global agg makes the broadcast side PROVABLY scalar for the
+    // plan gate (the rank filter already guarantees one row)
     val qhat = ranked
       .filter(expr("rn = least(CAST(ceil(0.9 * (nc + 1)) AS BIGINT), nc)"))
-      .select(col("score").as("qhat"), col("nc"))
+      .agg(max(col("score")).as("qhat"), max(col("nc")).as("nc"))
     scored.filter(!col("cal"))
       .crossJoin(broadcast(qhat))
       .agg(max(col("nc")).as("n_cal"),
