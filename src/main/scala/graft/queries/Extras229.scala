@@ -107,28 +107,30 @@ object Extras229 {
     * THE first test for "do hot cells touch hot cells".
     */
   def statJoinCount(s: SparkSession, d: String): DataFrame = {
-    val g = grid(s, d)
-    // agg-bounded single-task window (≤1024 rows, pmod grouping keys ⇒
-    // plan-gate bounded) — GlobalRank's two-pass shuffle would cost 3
-    // extra jobs on a frame this small
-    val med = g
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("v").asc, col("cx").asc, col("cy").asc)).cast("long"))
-      .withColumn("nn", count(lit(1)).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).cast("long"))
-      .filter(expr("rn = CAST(ceil(CAST(nn AS DOUBLE) / 2) AS BIGINT)"))
-      .agg(max(col("v")).as("gm"))
-    val b = g.crossJoin(broadcast(med))
-      .select(col("cx"), col("cy"), expr("CASE WHEN v > gm THEN 1L ELSE 0L END").as("hot"))
-    val right = b.select(expr("pmod(cx + 1, 32)").as("cx"), col("cy"), col("hot").as("h2"))
-    val down = b.select(col("cx"), expr("pmod(cy + 1, 32)").as("cy"), col("hot").as("h2"))
-    val edges = b.join(right.union(down), Seq("cx", "cy"))
-    val cnts = edges.agg(count(lit(1)).cast("long").as("w"),
-      sum(expr("CASE WHEN hot = 1 AND h2 = 1 THEN 1L ELSE 0L END")).cast("long").as("bb"),
-      sum(expr("CASE WHEN hot = 0 AND h2 = 0 THEN 1L ELSE 0L END")).cast("long").as("ww"),
-      sum(expr("CASE WHEN hot <> h2 THEN 1L ELSE 0L END")).cast("long").as("bw"))
-    val pb = b.agg(count(lit(1)).cast("long").as("n"), sum(col("hot")).cast("long").as("nb"))
-    cnts.crossJoin(broadcast(pb))
+    // the grid is O(1)-sized at ANY corpus scale (≤1024 cells): one
+    // distributed corpus aggregate, then the torus walk on the
+    // collected dictionary (the audited bounded-collect pattern) —
+    // cheaper than any window/rank machinery on a 1024-row frame
+    val cells = grid(s, d).select(col("cx"), col("cy"), col("v"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), BigInt(r.getDecimal(2).toBigInteger)))
+    val n = cells.length.toLong
+    val sorted = cells.sortBy { case ((cx, cy), v) => (v, cx, cy) }
+    val gm = sorted(math.ceil(n / 2.0).toInt - 1)._2
+    val hot = cells.map { case (k, v) => k -> (if (v > gm) 1L else 0L) }.toMap
+    var (w, bb, ww, bw) = (0L, 0L, 0L, 0L)
+    hot.foreach { case ((cx, cy), h) =>
+      Seq(((cx + 1) % 32, cy), (cx, (cy + 1) % 32)).foreach { k2 =>
+        hot.get(k2).foreach { h2 =>
+          w += 1
+          if (h == 1 && h2 == 1) bb += 1
+          else if (h == 0 && h2 == 0) ww += 1
+          else bw += 1
+        }
+      }
+    }
+    val nb = hot.values.sum
+    import s.implicits._
+    Seq((n, w, bb, ww, bw, nb)).toDF("n", "w", "bb", "ww", "bw", "nb")
       .selectExpr("n AS n_cells", "w AS n_edges", "bb", "ww", "bw",
         """round(CAST(w AS DOUBLE) * nb / n * nb / n, 4) AS e_bb""",
         """round(CAST(2 AS DOUBLE) * w * nb / n * (n - nb) / n, 4) AS e_bw""",
