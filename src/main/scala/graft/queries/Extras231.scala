@@ -248,9 +248,10 @@ object Extras231 {
       .select(col("day"),
         expr("CAST(floor((CAST(v AS DOUBLE) - vp) / vp * 1e9 + 0.5) AS BIGINT)").as("rq"))
       .withColumn("rnk", row_number().over(Window.orderBy(col("rq").asc, col("day").asc)).cast("long"))
-      .withColumn("n", count(lit(1)).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).cast("long"))
-    val tail = rets.filter(expr("rnk <= CAST(ceil(0.05 * n) AS BIGINT)"))
+      .localCheckpoint(true) // ≤(calendar days) rows, 2 consumers (count + tail)
+    val cnt = rets.agg(count(lit(1)).cast("long").as("n"))
+    val tail = rets.crossJoin(broadcast(cnt))
+      .filter(expr("rnk <= CAST(ceil(0.05 * n) AS BIGINT)"))
     tail.agg(max(col("n")).as("n"), count(lit(1)).cast("long").as("k"),
         max(col("rq")).as("varq"), sum(col("rq")).cast("long").as("sq"))
       .selectExpr("n AS n_returns", "k AS n_tail",
