@@ -383,6 +383,7 @@ object PlanInvariantSpec {
     "stat_dunnett_control" -> "4x1 join of the treatment rows with the filtered 1-row urgent-control moment row (priority-grouped agg then filter, Extras223.scala) - same shape as stat_welch_ttest",
     "time_matrix_profile" -> "self-join of the <=(months-5)-row subsequence frame of the calendar-bounded monthly aggregate (<=79x79 at ANY sf, Extras226.scala) - O(1) in the corpus",
     "stat_cohen_h" -> "1x1 join of the discounted/undiscounted proportion rows (2-group agg then filter, Extras227.scala) - same shape as stat_welch_ttest",
+    "stat_iv_wald" -> "1x1 join of the urgent/other instrument-arm rows (2-group agg then filter, Extras232.scala) - same shape as stat_welch_ttest",
     "embed_residual_quantize" -> "broadcast sides = 16-row coarse codebook (vec_id < 16) and 17-row residual codebook (16 <= vec_id < 32 plus the zero codeword), Extras210.scala",
   )
 
