@@ -384,6 +384,8 @@ object PlanInvariantSpec {
     "time_matrix_profile" -> "self-join of the <=(months-5)-row subsequence frame of the calendar-bounded monthly aggregate (<=79x79 at ANY sf, Extras226.scala) - O(1) in the corpus",
     "stat_cohen_h" -> "1x1 join of the discounted/undiscounted proportion rows (2-group agg then filter, Extras227.scala) - same shape as stat_welch_ttest",
     "stat_iv_wald" -> "1x1 join of the urgent/other instrument-arm rows (2-group agg then filter, Extras232.scala) - same shape as stat_welch_ttest",
+    "stat_e_value" -> "1x1 join of the discounted/full-price 2x2 rows (2-group agg then filter, Extras233.scala) - same shape as stat_welch_ttest",
+    "analytics_event_study" -> "broadcast side = the filtered k=-1 baseline row of the <=13-row relative-month agg (months_between bounded, Extras233.scala)",
     "embed_residual_quantize" -> "broadcast sides = 16-row coarse codebook (vec_id < 16) and 17-row residual codebook (16 <= vec_id < 32 plus the zero codeword), Extras210.scala",
   )
 
