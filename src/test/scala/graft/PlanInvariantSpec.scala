@@ -342,9 +342,14 @@ object PlanInvariantSpec {
       case f @ (_: Min | _: Max | _: First | _: Last) => f.children.forall(isBoundedDomain)
       case _ => false // sum/count/avg domains grow with the corpus
     }
-    case e if e.dataType == org.apache.spark.sql.types.DateType => true
+    // some expressions (e.g. unevaluable placeholders inside planned
+    // subqueries) THROW on .dataType — treat those as unbounded rather
+    // than crashing the sweep (conservative: never legalizes a window)
+    case e if scala.util.Try(e.dataType).toOption
+      .contains(org.apache.spark.sql.types.DateType) => true
     // any boolean-valued expression: domain {true, false, null}
-    case e if e.dataType == org.apache.spark.sql.types.BooleanType => true
+    case e if scala.util.Try(e.dataType).toOption
+      .contains(org.apache.spark.sql.types.BooleanType) => true
     case e if e.children.nonEmpty => e.children.forall(isBoundedDomain)
     case _ => false
   }
