@@ -103,7 +103,12 @@ object Extras154 {
     val w = org.apache.spark.sql.expressions.Window.orderBy("day")
     val e2 = bars.crossJoin(broadcast(tot))
       .withColumn("e", expr("c - sc div nd"))
-      .withColumn("u", expr("CAST(e AS DECIMAL(38,0)) * e"))
+      // quantize |e| DOWN (1e5) before squaring: raw e² cross-products
+      // overflow DECIMAL(38,0) from sf0.1 up (Σu·v ~ 2.4e39) and
+      // non-ANSI would return a silent NULL; the common scale cancels
+      // in r². abs() keeps Spark's toward-zero div == DuckDB's floor //
+      .withColumn("u", expr(
+        "CAST(abs(e) div 100000 AS DECIMAL(38,0)) * (abs(e) div 100000)"))
       .withColumn("v", lead(col("u"), 1).over(w))
       .filter(col("v").isNotNull)
     e2.agg(count(lit(1)).cast("decimal(38,0)").as("m"),
@@ -131,8 +136,8 @@ object Extras154 {
       |  SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(c) AS BIGINT) AS sc
       |  FROM bars),
       |e2 AS (
-      |  SELECT CAST(c - sc // nd AS DECIMAL(38,0))
-      |    * (c - sc // nd) AS u, day
+      |  SELECT CAST(abs(c - sc // nd) // 100000 AS DECIMAL(38,0))
+      |    * (abs(c - sc // nd) // 100000) AS u, day
       |  FROM bars, tot),
       |uv AS (
       |  SELECT u, lead(u, 1) OVER (ORDER BY day) AS v FROM e2

@@ -313,14 +313,14 @@ object Extras223 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stat_dunnett_control" -> (statDunnettControl _),
     "time_von_neumann" -> (timeVonNeumann _),
-    "analytics_abc_xyz" -> (analyticsAbcXyz _),
+    "analytics_abc_xyz_full" -> (analyticsAbcXyz _),
     "stat_harrell_cindex" -> (statHarrellCindex _),
   )
 
   val oracle: Map[String, String] = Map(
     "stat_dunnett_control" -> statDunnettControlSql,
     "time_von_neumann" -> timeVonNeumannSql,
-    "analytics_abc_xyz" -> analyticsAbcXyzSql,
+    "analytics_abc_xyz_full" -> analyticsAbcXyzSql,
     "stat_harrell_cindex" -> statHarrellCindexSql,
   )
 }

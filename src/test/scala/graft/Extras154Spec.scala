@@ -45,7 +45,12 @@ class Extras154Spec extends SparkSpec {
     val x = dailySeries()
     val n = x.length
     val fmean = x.map(BigInt(_)).sum / n // integer floor mean, as the query
-    val u = x.map(c => (BigInt(c) - fmean) * (BigInt(c) - fmean))
+    // r12: |e| quantized DOWN by 1e5 before squaring, as the query (the
+    // raw e^2 cross-products overflowed DECIMAL(38,0) from sf0.1 up)
+    val u = x.map { c =>
+      val eq = (BigInt(c) - fmean).abs / 100000
+      eq * eq
+    }
     val pairs = u.zip(u.tail)
     val m = pairs.length
     def d(b: BigInt) = b.toDouble
