@@ -23,10 +23,13 @@ object Extras224 {
     * Newey–West HAC(L=5, Bartlett) standard errors next to the naive
     * OLS SE: Var(b) = n²·(ΣX²e² + 2Σₗ(1−l/6)·ΣXXₗeeₗ)/(ΣX²)² with
     * X = n·t − Σt exact integers and residuals quantized to integer
-    * cents, so every autocovariance term is an exact integer sum —
-    * identical in both engines regardless of partitioning. The SE any
-    * trend-over-time claim should quote when errors are serially
-    * correlated (daily revenue always is).
+    * DOLLARS (not cents: Σx²e² with cent residuals approaches the
+    * DECIMAL(38,0) ceiling near sf100 where Spark non-ANSI decimal
+    * silently NULLs — the Extras154 overflow class; dollar residuals
+    * buy 1e4 headroom), so every autocovariance term is an exact
+    * integer sum — identical in both engines regardless of
+    * partitioning. The SE any trend-over-time claim should quote when
+    * errors are serially correlated (daily revenue always is).
     */
   def statNeweyWest(s: SparkSession, d: String): DataFrame = {
     val days = orders(s, d)
@@ -46,7 +49,7 @@ object Extras224 {
       .withColumn("a", expr("(CAST(sv AS DOUBLE) - b * st) / n"))
       .select(col("day"), col("n"),
         expr("n * t - st").as("x"),
-        expr("CAST(floor(v - a - b * t + 0.5) AS BIGINT)").as("eq"))
+        expr("CAST(floor((v - a - b * t) / 100 + 0.5) AS BIGINT)").as("eq"))
     val w = Window.orderBy("day")
     val lagged = withB
       .withColumn("e1", lag(col("eq"), 1).over(w)).withColumn("x1", lag(col("x"), 1).over(w))
@@ -76,9 +79,9 @@ object Extras224 {
           |/ CAST(sxx AS DOUBLE) AS var_ols""".stripMargin)
       .selectExpr("n AS n_days",
         "round(b / 100, 6) AS slope_dollars_per_day",
-        "round(sqrt(var_ols) / 100, 6) AS se_ols",
-        "round(sqrt(var_hac) / 100, 6) AS se_hac",
-        "round(b / sqrt(var_hac), 4) AS t_hac",
+        "round(sqrt(var_ols), 6) AS se_ols",
+        "round(sqrt(var_hac), 6) AS se_hac",
+        "round(b / 100 / sqrt(var_hac), 4) AS t_hac",
         "round(sqrt(var_hac / var_ols), 4) AS hac_inflation")
   }
   val statNeweyWestSql: String =
@@ -96,10 +99,10 @@ object Extras224 {
       |wb AS (
       |  SELECT day, n,
       |    n * t - st AS x,
-      |    CAST(floor(v - (CAST(sv AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(stv AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sv AS DOUBLE))
+      |    CAST(floor((v - (CAST(sv AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(stv AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sv AS DOUBLE))
       |      / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st)) * st) / n
       |      - ((CAST(n AS DOUBLE) * CAST(stv AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sv AS DOUBLE))
-      |      / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st)) * t + 0.5) AS BIGINT) AS eq
+      |      / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st)) * t) / 100 + 0.5) AS BIGINT) AS eq
       |  FROM days, mom),
       |lagged AS (
       |  SELECT *, lag(eq, 1) OVER w AS e1, lag(x, 1) OVER w AS x1,
@@ -131,9 +134,9 @@ object Extras224 {
       |  FROM sums, mom)
       |SELECT n AS n_days,
       |  round(b / 100, 6) AS slope_dollars_per_day,
-      |  round(sqrt(var_ols) / 100, 6) AS se_ols,
-      |  round(sqrt(var_hac) / 100, 6) AS se_hac,
-      |  round(b / sqrt(var_hac), 4) AS t_hac,
+      |  round(sqrt(var_ols), 6) AS se_ols,
+      |  round(sqrt(var_hac), 6) AS se_hac,
+      |  round(b / 100 / sqrt(var_hac), 4) AS t_hac,
       |  round(sqrt(var_hac / var_ols), 4) AS hac_inflation
       |FROM fin""".stripMargin
 

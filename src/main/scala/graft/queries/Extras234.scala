@@ -288,7 +288,11 @@ object Extras234 {
         sum(expr("CASE WHEN x < y THEN 1L ELSE 0L END")).cast("long").as("rnk"))
       // bin = floor(4*(r+1)/(m+1)) clamped to 3: pure integer algebra
       .select(expr("least((4 * (rnk + 1)) div (mm + 1), 3L)").as("bin"))
-    val bins = pit.groupBy("bin").agg(count(lit(1)).cast("long").as("c"))
+    // densify to all 4 quartile bins: an observed-bins-only χ² silently
+    // drops the (0 − n/4)²/(n/4) term of any empty bin
+    val bins = s.range(4).select(col("id").as("bin"))
+      .join(pit.groupBy("bin").agg(count(lit(1)).cast("long").as("c")), Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("c"), lit(0L)).as("c"))
     val tot = bins.agg(sum(col("c")).cast("long").as("n"))
     bins.crossJoin(broadcast(tot))
       .agg(max(col("n")).as("n"),
@@ -319,7 +323,11 @@ object Extras234 {
       |    SELECT tt, CAST(count(*) AS BIGINT) AS mm,
       |      CAST(sum(CASE WHEN x < y THEN 1 ELSE 0 END) AS BIGINT) AS rnk
       |    FROM ens GROUP BY 1)),
-      |bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS c FROM pit GROUP BY 1),
+      |obs AS (SELECT bin, CAST(count(*) AS BIGINT) AS c FROM pit GROUP BY 1),
+      |bins AS (
+      |  SELECT a.bin, CAST(coalesce(o.c, 0) AS BIGINT) AS c
+      |  FROM (SELECT CAST(unnest(generate_series(0, 3)) AS BIGINT) AS bin) a
+      |  LEFT JOIN obs o ON a.bin = o.bin),
       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM bins)
       |SELECT max(n) AS n_scored,
       |  round(CAST(CAST(sum(CAST(floor((CAST(c AS DOUBLE) - CAST(n AS DOUBLE) / 4)

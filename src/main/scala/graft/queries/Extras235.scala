@@ -15,8 +15,10 @@ import graft.Tables._
   * increments are TWO ·10¹²-quantized integer literals so the whole
   * trajectory is an exact integer prefix sum on GlobalRank; group-
   * sequential z's are exact-count algebra against literal OBF bounds;
-  * binseg argmaxes ride the |S|·128+(127−t) composite integer key —
-  * no float-tie hazard anywhere.
+  * binseg argmaxes break ties as (max stat, then min t) — strict-
+  * greater first-wins in the Scala driver, ORDER BY st DESC, t LIMIT 1
+  * in the oracle, both over exact integer CUSUM statistics — no
+  * float-tie hazard anywhere.
   */
 object Extras235 {
 
@@ -199,8 +201,11 @@ object Extras235 {
       .orderBy("m")
       .collect().map(_.getLong(1))
     val n = ms.length
-    // best split of ms[lo..hi] (0-based, inclusive): (1-based global cp, stat)
+    // best split of ms[lo..hi] (0-based, inclusive): (1-based global cp,
+    // stat). A segment of <2 elements has no interior split: emit the
+    // sentinel cp=0 so the oracle's coalesced-empty-CTE fallback agrees.
     def best(lo: Int, hi: Int): (Long, BigInt) = {
+      if (hi <= lo) return (0L, BigInt(0))
       val seg = ms.slice(lo, hi + 1).map(BigInt(_))
       val k = seg.length
       val sv = seg.sum
@@ -246,7 +251,8 @@ object Extras235 {
       |  SELECT t, abs(CAST(sum(CAST(v AS HUGEINT)) OVER (ORDER BY t
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) * k - (t - t0 + 1) * sv) AS st
       |  FROM lseg, ln2 QUALIFY (t - t0 + 1) < k),
-      |cpl AS (SELECT t AS cl FROM lstats ORDER BY st DESC, t LIMIT 1),
+      |cpl AS (SELECT CAST(coalesce(max(t1), 0) AS BIGINT) AS cl FROM
+      |  (SELECT t AS t1 FROM lstats ORDER BY st DESC, t LIMIT 1)),
       |rseg AS (SELECT s.t, s.v FROM seq s, cp1 WHERE s.t > c1),
       |rn2 AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS sv,
       |  CAST(min(t) AS BIGINT) AS t0 FROM rseg),
@@ -254,7 +260,8 @@ object Extras235 {
       |  SELECT t, abs(CAST(sum(CAST(v AS HUGEINT)) OVER (ORDER BY t
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) * k - (t - t0 + 1) * sv) AS st
       |  FROM rseg, rn2 QUALIFY (t - t0 + 1) < k),
-      |cpr AS (SELECT t AS cr FROM rstats ORDER BY st DESC, t LIMIT 1),
+      |cpr AS (SELECT CAST(coalesce(max(t1), 0) AS BIGINT) AS cr FROM
+      |  (SELECT t AS t1 FROM rstats ORDER BY st DESC, t LIMIT 1)),
       |means AS (
       |  SELECT
       |    (SELECT CAST(CAST(sum(CAST(v AS HUGEINT)) AS DECIMAL(38,0)) AS DOUBLE) / count(*)
