@@ -26,7 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 12g default: Verify now runs 8 queries concurrently (see
+  // Verify.scala — the sequential dump crossed the driver's round cap
+  // at ~1000 registry rows); sf0.01 plans are small but eight of them
+  // share the unified memory pool at once.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
   // ~480 distinct whole-stage-codegen queries in one bench JVM generate
   // enough JIT'd classes to pressure the default 240 MB code cache; when
   // it fills, C2 falls back to interpretation and EVERY query slows
