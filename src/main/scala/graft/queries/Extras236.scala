@@ -38,9 +38,13 @@ object Extras236 {
       .agg(sum(col("n_gv")).cast("long").as("n_g"),
         sum(expr("CAST(n_gv AS DECIMAL(38,0)) * (2 * c_before + cntv + 1)"))
           .cast("decimal(38,0)").as("rg2"))
-    val ties = pv.agg(
+    val ties = spine.agg(
       sum(expr("CAST(cntv AS DECIMAL(38,0)) * cntv * cntv - cntv"))
-        .cast("decimal(38,0)").as("t_ties"))
+        .cast("decimal(38,0)").as("t_ties"),
+      sum(expr(
+        "CAST(cntv AS DECIMAL(38,0)) * (2 * c_before + cntv + 1) * (2 * c_before + cntv + 1)"))
+        .cast("decimal(38,0)").as("s4"),
+      sum(col("cntv")).cast("long").as("nn"))
     (pg, ties)
   }
 
@@ -61,8 +65,11 @@ object Extras236 {
       |  FROM gv JOIN spine USING (v) GROUP BY 1),
       |ties AS (
       |  SELECT CAST(sum(CAST(cntv AS DECIMAL(38,0)) * cntv * cntv - cntv)
-      |    AS DECIMAL(38,0)) AS t_ties
-      |  FROM pv)""".stripMargin
+      |    AS DECIMAL(38,0)) AS t_ties,
+      |    CAST(sum(CAST(cntv AS DECIMAL(38,0)) * (2 * c_before + cntv + 1)
+      |      * (2 * c_before + cntv + 1)) AS DECIMAL(38,0)) AS s4,
+      |    CAST(sum(cntv) AS BIGINT) AS nn
+      |  FROM spine)""".stripMargin
 
   /** C948 stat_mann_whitney_u — the two-sample rank-sum test (click vs
     * view event values): U₁ from the exact doubled-midrank sum, normal
@@ -73,8 +80,10 @@ object Extras236 {
     */
   def statMannWhitneyU(s: SparkSession, d: String): DataFrame = {
     val (pg, ties) = rankSums(s, d, Seq("click", "view"))
-    pg.filter(col("grp") === "click").selectExpr("n_g AS n1", "rg2 AS r1")
-      .crossJoin(broadcast(pg.filter(col("grp") === "view").selectExpr("n_g AS n2")))
+    // conditional agg → provably-scalar frames (plan gate: no BNLJ)
+    pg.agg(max(when(col("grp") === "click", col("n_g"))).as("n1"),
+        max(when(col("grp") === "click", col("rg2"))).as("r1"),
+        max(when(col("grp") === "view", col("n_g"))).as("n2"))
       .crossJoin(broadcast(ties))
       .selectExpr("n1", "n2",
         "CAST(r1 AS DOUBLE) / 2 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2 AS u1",
@@ -154,48 +163,71 @@ object Extras236 {
       |  (CAST(l AS DOUBLE) - 45 * CAST(b AS DOUBLE)) / (5 * sqrt(CAST(b AS DOUBLE))) > 1.645 AS increasing_trend
       |FROM agg""".stripMargin
 
-  /** C950 stat_dunn_test — Dunn's post-hoc for the C497 Kruskal–Wallis
-    * omnibus: all 10 event-type pairs, z = (R̄ᵢ−R̄ⱼ)/√(σ²·(1/nᵢ+1/nⱼ))
-    * with σ² = (N(N+1) − Σ(t³−t)/(N−1))/12 — the exact tie-corrected
-    * pooled-rank variance — against the Bonferroni critical 2.807
-    * (α=0.05, m=10). The "WHICH groups differ" answer the omnibus H
-    * only implies. Mean ranks come off the same doubled-midrank spine.
+  /** C950 stat_conover_iman — the Conover–Iman post-hoc for the C497
+    * Kruskal–Wallis omnibus over the five EVENT-TYPE groups (C836's
+    * Dunn covers the priority design; Conover–Iman is the more
+    * powerful t-flavored alternative): t = (R̄ᵢ−R̄ⱼ)/√(S²·(N−1−H)/(N−k)
+    * ·(1/nᵢ+1/nⱼ)) with S² the tie-aware total rank variance and H the
+    * KW statistic — both from exact spine moments, per-group terms
+    * quantized ·10¹² in N-normalized units before the 5-row sums.
+    * Bonferroni critical 2.807 (α=0.05, m=10, df ≈ ∞ at corpus N).
     */
-  def statDunnTest(s: SparkSession, d: String): DataFrame = {
-    val (pg, ties) = rankSums(s, d, Seq.empty)
-    val tot = pg.agg(sum(col("n_g")).cast("long").as("n_tot"))
-    val base = pg.crossJoin(broadcast(tot)).crossJoin(broadcast(ties))
-      .withColumn("mr", expr("CAST(rg2 AS DOUBLE) / (2 * n_g)"))
+  def statConoverIman(s: SparkSession, d: String): DataFrame = {
+    val (pg, aux) = rankSums(s, d, Seq.empty)
+    // a = Σ (R̄ᵢ/N)²·(nᵢ/N), exact ·1e12 integer sum over the 5 groups
+    val aq = pg.crossJoin(broadcast(aux))
+      .agg(sum(expr(
+        """CAST(floor((CAST(rg2 AS DOUBLE) / (2 * n_g) / nn)
+          |* (CAST(rg2 AS DOUBLE) / (2 * n_g) / nn) * n_g / nn * 1e12 + 0.5) AS BIGINT)""".stripMargin))
+        .cast("long").as("aq"),
+        (countDistinct(col("grp"))).cast("long").as("k"))
+    val base = pg.crossJoin(broadcast(aux)).crossJoin(broadcast(aq))
+      .selectExpr("grp", "n_g", "nn", "k",
+        "CAST(rg2 AS DOUBLE) / (2 * n_g) AS mr",
+        // c = (N+1)²/(4N²); sr2n = Σr²/N³; a = aq/1e12
+        "CAST(nn + 1 AS DOUBLE) * (nn + 1) / (4 * CAST(nn AS DOUBLE) * nn) AS cc",
+        "CAST(s4 AS DOUBLE) / 4 / (CAST(nn AS DOUBLE) * nn * nn) AS sr2n",
+        "CAST(aq AS DOUBLE) / 1e12 AS aa")
+      .withColumn("h", expr("(aa - cc) * (nn - 1) / (sr2n - cc)"))
+      .withColumn("s2", expr("(sr2n - cc) * CAST(nn AS DOUBLE) * nn * nn / (nn - 1)"))
     val b2 = base.selectExpr("grp AS grp2", "n_g AS n_g2", "mr AS mr2")
     base.join(broadcast(b2), col("grp") < col("grp2"))
       .selectExpr("grp AS g1", "grp2 AS g2",
         "round(mr - mr2, 4) AS diff_meanrank",
-        """round((mr - mr2) / sqrt((CAST(n_tot AS DOUBLE) * (n_tot + 1)
-          |  - CAST(t_ties AS DOUBLE) / (n_tot - 1)) / 12
-          |  * (CAST(1 AS DOUBLE) / n_g + CAST(1 AS DOUBLE) / n_g2)), 4) AS z_stat""".stripMargin,
-        """abs((mr - mr2) / sqrt((CAST(n_tot AS DOUBLE) * (n_tot + 1)
-          |  - CAST(t_ties AS DOUBLE) / (n_tot - 1)) / 12
+        """round((mr - mr2) / sqrt(s2 * (nn - 1 - h) / (nn - k)
+          |  * (CAST(1 AS DOUBLE) / n_g + CAST(1 AS DOUBLE) / n_g2)), 4) AS t_stat""".stripMargin,
+        """abs((mr - mr2) / sqrt(s2 * (nn - 1 - h) / (nn - k)
           |  * (CAST(1 AS DOUBLE) / n_g + CAST(1 AS DOUBLE) / n_g2))) > 2.807 AS significant""".stripMargin)
       .orderBy("g1", "g2")
   }
-  val statDunnTestSql: String =
+  val statConoverImanSql: String =
     rankSumsSqlPrefix.format("") +
       """,
-        |tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n_tot FROM pg),
+        |aq AS (
+        |  SELECT CAST(sum(CAST(floor((CAST(rg2 AS DOUBLE) / (2 * n_g) / nn)
+        |      * (CAST(rg2 AS DOUBLE) / (2 * n_g) / nn) * n_g / nn * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS aq,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM pg, ties),
         |base AS (
-        |  SELECT grp, n_g, CAST(rg2 AS DOUBLE) / (2 * n_g) AS mr, n_tot, t_ties
-        |  FROM pg, tot, ties),
+        |  SELECT grp, n_g, nn, k,
+        |    CAST(rg2 AS DOUBLE) / (2 * n_g) AS mr,
+        |    CAST(nn + 1 AS DOUBLE) * (nn + 1) / (4 * CAST(nn AS DOUBLE) * nn) AS cc,
+        |    CAST(s4 AS DOUBLE) / 4 / (CAST(nn AS DOUBLE) * nn * nn) AS sr2n,
+        |    CAST(aq AS DOUBLE) / 1e12 AS aa
+        |  FROM pg, ties, aq),
+        |base2 AS (
+        |  SELECT *, (aa - cc) * (nn - 1) / (sr2n - cc) AS h,
+        |    (sr2n - cc) * CAST(nn AS DOUBLE) * nn * nn / (nn - 1) AS s2
+        |  FROM base),
         |pairs AS (
         |  SELECT a.grp AS g1, b.grp AS g2, a.mr AS mr, b.mr AS mr2,
-        |    a.n_g AS n_g, b.n_g AS n_g2, a.n_tot, a.t_ties
-        |  FROM base a JOIN base b ON a.grp < b.grp)
+        |    a.n_g AS n_g, b.n_g AS n_g2, a.nn, a.k, a.h, a.s2
+        |  FROM base2 a JOIN base2 b ON a.grp < b.grp)
         |SELECT g1, g2,
         |  round(mr - mr2, 4) AS diff_meanrank,
-        |  round((mr - mr2) / sqrt((CAST(n_tot AS DOUBLE) * (n_tot + 1)
-        |    - CAST(t_ties AS DOUBLE) / (n_tot - 1)) / 12
-        |    * (CAST(1 AS DOUBLE) / n_g + CAST(1 AS DOUBLE) / n_g2)), 4) AS z_stat,
-        |  abs((mr - mr2) / sqrt((CAST(n_tot AS DOUBLE) * (n_tot + 1)
-        |    - CAST(t_ties AS DOUBLE) / (n_tot - 1)) / 12
+        |  round((mr - mr2) / sqrt(s2 * (nn - 1 - h) / (nn - k)
+        |    * (CAST(1 AS DOUBLE) / n_g + CAST(1 AS DOUBLE) / n_g2)), 4) AS t_stat,
+        |  abs((mr - mr2) / sqrt(s2 * (nn - 1 - h) / (nn - k)
         |    * (CAST(1 AS DOUBLE) / n_g + CAST(1 AS DOUBLE) / n_g2))) > 2.807 AS significant
         |FROM pairs ORDER BY g1, g2""".stripMargin
 
@@ -260,14 +292,14 @@ object Extras236 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stat_mann_whitney_u" -> (statMannWhitneyU _),
     "stat_page_l" -> (statPageL _),
-    "stat_dunn_test" -> (statDunnTest _),
+    "stat_conover_iman" -> (statConoverIman _),
     "stat_nemenyi_test" -> (statNemenyiTest _),
   )
 
   val oracle: Map[String, String] = Map(
     "stat_mann_whitney_u" -> statMannWhitneyUSql,
     "stat_page_l" -> statPageLSql,
-    "stat_dunn_test" -> statDunnTestSql,
+    "stat_conover_iman" -> statConoverImanSql,
     "stat_nemenyi_test" -> statNemenyiTestSql,
   )
 }

@@ -64,25 +64,30 @@ class Extras236Spec extends SparkSpec {
     assert(row.getLong(2) >= 35 * b && row.getLong(2) <= 55 * b, "L within the k=5 attainable band")
   }
 
-  test("stat_dunn_test: 10 pairs match the pooled-variance replay") {
+  test("stat_conover_iman: 10 pairs match the rank-variance replay") {
     val xs = eventVals(Set.empty)
     val mr = midranks(xs.map(_._2))
     val groups = xs.groupBy(_._1)
     val n = xs.length.toLong
-    val tie = xs.map(_._2).groupBy(identity).values
-      .map(g => g.length.toDouble * g.length * g.length - g.length).sum
-    val sig2 = (n.toDouble * (n + 1) - tie / (n - 1)) / 12
+    val k = groups.size
+    val ranks = xs.map(x => mr(x._2))
+    val cT = n * (n + 1.0) * (n + 1.0) / 4
+    val s2 = (ranks.map(r => r * r).sum - cT) / (n - 1)
     val meanr = groups.map { case (g, ys) => g -> ys.map(y => mr(y._2)).sum / ys.length }
-    val rows = queries.Extras236.statDunnTest(spark, sf).collect()
+    val aStat = groups.values.map(ys => math.pow(ys.map(y => mr(y._2)).sum, 2) / ys.length).sum
+    val h = (aStat - cT) / s2
+    val rows = queries.Extras236.statConoverIman(spark, sf).collect()
     assert(rows.length == 10)
     rows.foreach { r =>
       val (g1, g2) = (r.getString(0), r.getString(1))
       assert(g1 < g2, "pairs R1-ordered")
       val diff = meanr(g1) - meanr(g2)
-      val z = diff / math.sqrt(sig2 * (1.0 / groups(g1).length + 1.0 / groups(g2).length))
+      val t = diff / math.sqrt(s2 * (n - 1 - h) / (n - k) *
+        (1.0 / groups(g1).length + 1.0 / groups(g2).length))
       assert(math.abs(r.getDouble(2) - diff) < 1e-3, s"$g1/$g2 diff")
-      assert(math.abs(r.getDouble(3) - z) < 1e-3, s"$g1/$g2 z")
-      assert(r.getBoolean(4) == (math.abs(z) > 2.807))
+      assert(math.abs(r.getDouble(3) - t) < 1e-2, s"$g1/$g2 t ${r.getDouble(3)} vs $t")
+      assert(r.getBoolean(4) == (math.abs(t) > 2.807) ||
+        math.abs(math.abs(t) - 2.807) < 1e-2)
     }
   }
 

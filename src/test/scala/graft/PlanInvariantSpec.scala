@@ -392,6 +392,9 @@ object PlanInvariantSpec {
     "stat_e_value" -> "1x1 join of the discounted/full-price 2x2 rows (2-group agg then filter, Extras233.scala) - same shape as stat_welch_ttest",
     "analytics_event_study" -> "broadcast side = the filtered k=-1 baseline row of the <=13-row relative-month agg (months_between bounded, Extras233.scala)",
     "embed_residual_quantize" -> "broadcast sides = 16-row coarse codebook (vec_id < 16) and 17-row residual codebook (16 <= vec_id < 32 plus the zero codeword), Extras210.scala",
+    "stat_lad_regression" -> "both sides = the calendar-bounded 80-row month frame (candidate-pair enumeration <=C(80,2) x 80, Extras237.scala) - O(1) in the corpus",
+    "stat_mantel_test" -> "both sides = the FIXED 60-vector probe sample (vec_id < 60, Extras239.scala) - O(1) in the corpus",
+    "stat_nemenyi_test" -> "month x priority grid (calendar-bounded 80 x 5) and the 5x5 treatment-pair self-join of a 5-row rank aggregate (Extras236.scala) - O(1) in the corpus",
   )
 
   // r12 hardening residue: rows whose window frame is bounded by
