@@ -259,7 +259,7 @@ object Extras242 {
       |  round(CAST(CAST(sum(delta) AS BIGINT) AS DOUBLE) / 100, 2) AS net_change
       |FROM cells GROUP BY mon ORDER BY month""".stripMargin
 
-  /** C975 stat_median_polish — Tukey's median polish of the year ×
+  /** C975 stat_median_polish_full — Tukey's median polish of the year ×
     * priority revenue-share table (two full row/column sweeps): the
     * robust additive decomposition grand + row + column + residual
     * that two-way ANOVA does with means — outlier cells land in the
@@ -375,13 +375,13 @@ object Extras242 {
     "time_acf_bartlett" -> (timeAcfBartlett _),
     "stat_influence_battery" -> (statInfluenceBattery _),
     "analytics_growth_accounting" -> (analyticsGrowthAccounting _),
-    "stat_median_polish" -> (statMedianPolish _),
+    "stat_median_polish_full" -> (statMedianPolish _),
   )
 
   val oracle: Map[String, String] = Map(
     "time_acf_bartlett" -> timeAcfBartlettSql,
     "stat_influence_battery" -> statInfluenceBatterySql,
     "analytics_growth_accounting" -> analyticsGrowthAccountingSql,
-    "stat_median_polish" -> statMedianPolishSql,
+    "stat_median_polish_full" -> statMedianPolishSql,
   )
 }

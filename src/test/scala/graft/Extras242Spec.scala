@@ -75,7 +75,7 @@ class Extras242Spec extends SparkSpec {
     }
   }
 
-  test("stat_median_polish: effects + grand reproduce cell medians structure") {
+  test("stat_median_polish_full: effects + grand reproduce cell medians structure") {
     val rows = queries.Extras242.statMedianPolish(spark, sf).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(rows.size == 14, s"5 cols + 7 rows + grand + max_abs_resid = 14, got ${rows.size}")
