@@ -395,6 +395,7 @@ object PlanInvariantSpec {
     "stat_lad_regression" -> "both sides = the calendar-bounded 80-row month frame (candidate-pair enumeration <=C(80,2) x 80, Extras237.scala) - O(1) in the corpus",
     "stat_mantel_test" -> "both sides = the FIXED 60-vector probe sample (vec_id < 60, Extras239.scala) - O(1) in the corpus",
     "stat_nemenyi_test" -> "month x priority grid (calendar-bounded 80 x 5) and the 5x5 treatment-pair self-join of a 5-row rank aggregate (Extras236.scala) - O(1) in the corpus",
+    "time_acf_bartlett" -> "lag-band self-join (ta - tb BETWEEN 1 AND 12) of the calendar-bounded 80-row centered month frame (Extras242.scala) - O(1) in the corpus",
   )
 
   // r12 hardening residue: rows whose window frame is bounded by
