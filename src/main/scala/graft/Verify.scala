@@ -13,7 +13,12 @@ import java.nio.file.{Files, Paths}
   * `spark.newSession()`: isolated SQLConf (a handful of exhibits
   * set/restore AQE or broadcast confs mid-query) and isolated
   * `experimental` rule/strategy registration, with the shared
-  * SparkContext and external catalog underneath. Results are unchanged
+  * SparkContext and external catalog underneath. One known shared-state
+  * exception: `exec_reliable_checkpoint` (Extras47) mutates the
+  * context-global checkpoint dir via `setCheckpointDir` — benign today
+  * because it is the sole `checkpoint()` user and sets a fresh temp dir
+  * each call; a second checkpoint-using query must coordinate (or take
+  * a lock) before this becomes a race. Results are unchanged
   * vs sequential — every row is deterministic by the R1 total-order
   * discipline, and cloned sessions inherit the builder's conf.
   */
@@ -33,7 +38,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "8").toInt.max(1)
+    // defensive parse: a malformed value ("8 ", "auto") must degrade to
+    // the default, not NumberFormatException-abort the whole dump before
+    // any query runs (the r12 zero-correctness failure class)
+    val par = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "8").trim.toInt
+    ).getOrElse(8).max(1)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

@@ -125,7 +125,11 @@ object Extras244 {
     // Sn: lomed_i himed_{j!=i} |xi-xj| with the same fixed median rule
     val sn = med((0 until n).map { i =>
       val ds = (0 until n).filter(_ != i).map(j => math.abs(ms(i) - ms(j))).sorted
-      ds((ds.length + 1) / 2 - 1) // himed = upper median (position (m+1)//2 1-based of m)
+      // position (m+1)//2 (1-based) of the m = n-1 diffs: for even m this
+      // is the LOWER median, not Sn's textbook high median ((m+2)//2) —
+      // both engines share this convention (and m is odd for the even
+      // month count here), so results agree; do not "fix" one side alone
+      ds((ds.length + 1) / 2 - 1)
     }.toArray.map(_.toLong))
     import s.implicits._
     Seq(
