@@ -396,6 +396,7 @@ object PlanInvariantSpec {
     "stat_mantel_test" -> "both sides = the FIXED 60-vector probe sample (vec_id < 60, Extras239.scala) - O(1) in the corpus",
     "stat_nemenyi_test" -> "month x priority grid (calendar-bounded 80 x 5) and the 5x5 treatment-pair self-join of a 5-row rank aggregate (Extras236.scala) - O(1) in the corpus",
     "time_acf_bartlett" -> "lag-band self-join (ta - tb BETWEEN 1 AND 12) of the calendar-bounded 80-row centered month frame (Extras242.scala) - O(1) in the corpus",
+    "embed_mmd_rbf" -> "broadcast side = the FIXED <=400-probe panel per cohort (vec_id < 400, Extras250.scala) - O(1) in the corpus",
   )
 
   // r12 hardening residue: rows whose window frame is bounded by
