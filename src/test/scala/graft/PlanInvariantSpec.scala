@@ -397,6 +397,7 @@ object PlanInvariantSpec {
     "stat_nemenyi_test" -> "month x priority grid (calendar-bounded 80 x 5) and the 5x5 treatment-pair self-join of a 5-row rank aggregate (Extras236.scala) - O(1) in the corpus",
     "time_acf_bartlett" -> "lag-band self-join (ta - tb BETWEEN 1 AND 12) of the calendar-bounded 80-row centered month frame (Extras242.scala) - O(1) in the corpus",
     "embed_mmd_rbf" -> "broadcast side = the FIXED <=400-probe panel per cohort (vec_id < 400, Extras250.scala) - O(1) in the corpus",
+    "stat_quantile_regression" -> "both sides = the calendar-bounded 80-row month frame (candidate-pair enumeration <=C(80,2) x 80, Extras252.scala) - same shape as stat_lad_regression",
   )
 
   // r12 hardening residue: rows whose window frame is bounded by
