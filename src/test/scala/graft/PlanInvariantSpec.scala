@@ -398,6 +398,8 @@ object PlanInvariantSpec {
     "time_acf_bartlett" -> "lag-band self-join (ta - tb BETWEEN 1 AND 12) of the calendar-bounded 80-row centered month frame (Extras242.scala) - O(1) in the corpus",
     "embed_mmd_rbf" -> "broadcast side = the FIXED <=400-probe panel per cohort (vec_id < 400, Extras250.scala) - O(1) in the corpus",
     "stat_quantile_regression" -> "both sides = the calendar-bounded 80-row month frame (candidate-pair enumeration <=C(80,2) x 80, Extras252.scala) - same shape as stat_lad_regression",
+    "stat_marascuilo" -> "5x5 self-join of the 5-row priority-proportion aggregate (grp < grp2 pairs, Extras253.scala) - same shape as stat_tukey_hsd_matrix",
+    "stat_pesaran_cd" -> "broadcast side = the 25-row nation dictionary crossed with the calendar-bounded month frame (Extras253.scala) - O(1) in the corpus",
   )
 
   // r12 hardening residue: rows whose window frame is bounded by
