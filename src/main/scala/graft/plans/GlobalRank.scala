@@ -175,6 +175,63 @@ object GlobalRank {
       .drop("_gmax_pid", "_gmax_v", "_gmax_off")
   }
 
+  /** N exclusive prefix sums and (optionally) the global row number
+    * over the SAME total order in ONE two-pass machinery — the r14
+    * shared-exchange optimization (guide §2.4: operations keyed the
+    * same way share one exchange). Nested
+    * `withExclusivePrefixSum(withExclusivePrefixSum(...))` /
+    * `withExclusivePrefixSum(withGlobalRowNumber(...))` chains with
+    * identical sortExprs paid the full range-sample + exchange +
+    * localCheckpoint + offsets-broadcast sequence PER CALL; this
+    * computes every requested column from one pinned ranged frame, one
+    * per-partition aggregate (all partial sums + the count in a single
+    * row per partition), one offsets broadcast, and one local
+    * WindowExec (all window expressions share the identical spec, so
+    * Spark evaluates them in a single window operator).
+    *
+    * Bit-identical to the nested formulation: the global prefix of an
+    * exact type in a tie-free total order is unique, and each output
+    * column keeps the exact type `sum(valueCol)` resolves to (the same
+    * rule as [[withExclusivePrefixSum]]).
+    */
+  def withRankAndPrefixSums(df: DataFrame, rnCol: Option[String],
+      sums: Seq[(Column, String)], sortExprs: Seq[Column],
+      partitions: Int = 32): DataFrame = {
+    val vNames = sums.indices.map(i => s"_gmulti_v$i")
+    val base0 = df.repartitionByRange(partitions, sortExprs: _*)
+      .withColumn("_gmulti_pid", spark_partition_id())
+    val ranged = pinned(sums.zip(vNames).foldLeft(base0) {
+      case (acc, ((valueCol, _), vn)) => acc.withColumn(vn, valueCol)
+    })
+    val sumTypes = vNames.map(vn =>
+      ranged.select(sum(col(vn))).schema.head.dataType)
+    val perPart = ranged.groupBy("_gmulti_pid")
+      .agg(count(lit(1)).as("_gmulti_cnt"),
+        vNames.map(vn => sum(col(vn)).as(s"_p_$vn")): _*)
+    val wOff = Window.orderBy("_gmulti_pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets0 = perPart
+      .withColumn("_gmulti_roff", coalesce(sum(col("_gmulti_cnt")).over(wOff), lit(0L)))
+    val offsets = vNames.zip(sumTypes).zipWithIndex.foldLeft(offsets0) {
+      case (acc, ((vn, t), _)) =>
+        acc.withColumn(s"_off_$vn", coalesce(sum(col(s"_p_$vn")).over(wOff), lit(0L).cast(t)))
+    }.select(col("_gmulti_pid") +: col("_gmulti_roff") +:
+      vNames.map(vn => col(s"_off_$vn")): _*)
+    val wLocal = Window.partitionBy("_gmulti_pid").orderBy(sortExprs: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRank = Window.partitionBy("_gmulti_pid").orderBy(sortExprs: _*)
+    val joined0 = ranged.join(broadcast(offsets), "_gmulti_pid")
+    val withSums = sums.map(_._2).zip(vNames).zip(sumTypes).foldLeft(joined0) {
+      case (acc, ((outName, vn), t)) =>
+        acc.withColumn(outName,
+          (col(s"_off_$vn") + coalesce(sum(col(vn)).over(wLocal), lit(0L).cast(t)))
+            .cast(t))
+    }
+    rnCol.fold(withSums)(rn => withSums.withColumn(rn,
+        (col("_gmulti_roff") + row_number().over(wRank)).cast("long")))
+      .drop(Seq("_gmulti_pid", "_gmulti_roff") ++ vNames ++
+        vNames.map(vn => s"_off_$vn"): _*)
+  }
+
   private def ranked(df: DataFrame, rnCol: String, totalCol: Option[String],
       sortExprs: Seq[Column], partitions: Int): DataFrame = {
     val ranged = pinned(df.repartitionByRange(partitions, sortExprs: _*)

@@ -166,9 +166,11 @@ object Extras184 {
       .agg(sum(expr("CASE WHEN lang = 'en' THEN 1L ELSE 0L END")).cast("long").as("m1"),
         sum(expr("CASE WHEN lang = 'de' THEN 1L ELSE 0L END")).cast("long").as("m2"))
       .withColumn("g", expr("m1 + m2"))
-    val withC = graft.plans.GlobalRank.withExclusivePrefixSum(pv, "c", col("g"), Seq(col("v").asc))
-    val withC1 = graft.plans.GlobalRank.withExclusivePrefixSum(withC, "c1", col("m1"), Seq(col("v").asc))
-    val withC2 = graft.plans.GlobalRank.withExclusivePrefixSum(withC1, "c2", col("m2"), Seq(col("v").asc))
+    // three prefix sums over the SAME v-order, v = n_chars (generator-
+    // capped bounded domain): one shared single-task window instead of
+    // three GlobalRank machineries (r14; plan-gate legal via n_chars)
+    val withC2 = graft.plans.BoundedPrefix.prefixSums(pv,
+      Seq((col("g"), "c"), (col("m1"), "c1"), (col("m2"), "c2")), Seq(col("v").asc))
     // doubled placements: 2·(R(v) − r_j(v)) = (2c+g+1) − (2c_j+m_j+1)
     val agg = withC2.agg(
       sum(col("m1")).cast("long").as("n1"), sum(col("m2")).cast("long").as("n2"),

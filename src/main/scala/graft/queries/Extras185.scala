@@ -183,26 +183,35 @@ object Extras185 {
     // cum via GlobalRank's two-pass prefix sum, never a single-task
     // global window (r12 plan-gate hardening)
     val hist = v.groupBy("c").agg(count(lit(1)).cast("long").as("w"))
-    val withCl = graft.plans.GlobalRank
-      .withExclusivePrefixSum(hist, "cl0", col("w"), Seq(col("c").asc))
+    // r14 restructure: ONE combined two-pass machinery carries the count
+    // prefix AND the value-weighted prefix, and every tail sum comes off
+    // the spine algebraically — Σ_{c>u}(c−u)·w = (st − svi(u)) −
+    // u·(n − cl(u)), exact integers — so the old 5×-exploded second
+    // pass over orders disappears entirely. Totals roll up from the
+    // pinned spine, not a second orders scan.
+    val spine = graft.plans.GlobalRank.withRankAndPrefixSums(hist, None,
+        Seq((col("w"), "cl0"), (expr("CAST(c AS DECIMAL(38,0)) * w"), "sv0")),
+        Seq(col("c").asc))
       .withColumn("cl", col("cl0") + col("w"))
-      .crossJoin(broadcast(hist.agg(sum(col("w")).cast("long").as("n"))))
-    val thresholds = withCl.agg(
-      min(expr("CASE WHEN 100 * cl >= 50 * n THEN c END")).as("u50"),
-      min(expr("CASE WHEN 100 * cl >= 75 * n THEN c END")).as("u75"),
-      min(expr("CASE WHEN 100 * cl >= 90 * n THEN c END")).as("u90"),
-      min(expr("CASE WHEN 100 * cl >= 95 * n THEN c END")).as("u95"),
-      min(expr("CASE WHEN 100 * cl >= 99 * n THEN c END")).as("u99"))
-    v.crossJoin(broadcast(thresholds))
+      .withColumn("svi", expr("sv0 + CAST(c AS DECIMAL(38,0)) * w"))
+    val tots = spine.agg(sum(col("w")).cast("long").as("n"),
+      sum(expr("CAST(c AS DECIMAL(38,0)) * w")).cast("decimal(38,0)").as("st"))
+    val withCl = spine.crossJoin(broadcast(tots))
+    // min(struct(c, ...)) picks the same row as min(c): c is the
+    // distinct histogram key, so the struct min is tie-free
+    def pick(p: Int) = min(expr(
+      s"CASE WHEN 100 * cl >= $p * n THEN struct(c, cl, svi) END")).as(s"t$p")
+    val thresholds = withCl.agg(max(col("n")).as("n"), max(col("st")).as("st"),
+      pick(50), pick(75), pick(90), pick(95), pick(99))
+    thresholds
       .select(explode(expr(
-        """array(named_struct('p', 50, 'u', u50), named_struct('p', 75, 'u', u75),
-          |named_struct('p', 90, 'u', u90), named_struct('p', 95, 'u', u95),
-          |named_struct('p', 99, 'u', u99))""".stripMargin)).as("t"), col("c"))
-      .select(col("t.p").as("pct"), col("t.u").as("u"), col("c"))
-      .groupBy("pct", "u")
-      .agg(sum(expr("CASE WHEN c > u THEN 1L ELSE 0L END")).cast("long").as("n_exceed"),
-        sum(expr("CASE WHEN c > u THEN CAST(c - u AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END"))
-          .cast("decimal(38,0)").as("excess"))
+        """array(named_struct('p', 50, 't', t50), named_struct('p', 75, 't', t75),
+          |named_struct('p', 90, 't', t90), named_struct('p', 95, 't', t95),
+          |named_struct('p', 99, 't', t99))""".stripMargin)).as("e"),
+        col("n"), col("st"))
+      .selectExpr("e.p AS pct", "e.t.c AS u",
+        "n - e.t.cl AS n_exceed",
+        "st - e.t.svi - CAST(n - e.t.cl AS DECIMAL(38,0)) * e.t.c AS excess")
       .selectExpr("pct", "round(CAST(u AS DOUBLE) / 100, 2) AS threshold",
         "n_exceed",
         "round(CAST(excess AS DOUBLE) / n_exceed / 100, 2) AS mean_excess")

@@ -30,10 +30,10 @@ object Extras187 {
       .groupBy("value")
       .agg(sum(expr("CASE WHEN event_type = 'click' THEN 1L ELSE 0L END")).cast("long").as("m1"),
         sum(expr("CASE WHEN event_type = 'view' THEN 1L ELSE 0L END")).cast("long").as("m2"))
-    val withC = graft.plans.GlobalRank.withExclusivePrefixSum(
-      pv, "c1", col("m1"), Seq(col("value").asc))
-    val withC2 = graft.plans.GlobalRank.withExclusivePrefixSum(
-      withC, "c2", col("m2"), Seq(col("value").asc))
+    // two prefix sums over the SAME value-order: one combined two-pass
+    // machinery instead of two (r14, GlobalRank.withRankAndPrefixSums)
+    val withC2 = graft.plans.GlobalRank.withRankAndPrefixSums(pv, None,
+      Seq((col("m1"), "c1"), (col("m2"), "c2")), Seq(col("value").asc))
     val tot = pv.agg(sum(col("m1")).cast("long").as("n1"), sum(col("m2")).cast("long").as("n2"))
     withC2.crossJoin(broadcast(tot))
       .selectExpr("(c1 + m1) * n2 AS f1x", "(c2 + m2) * n1 AS f2x", "n1", "n2",
@@ -87,10 +87,9 @@ object Extras187 {
       .groupBy("value")
       .agg(sum(expr("CASE WHEN event_type = 'click' THEN 1L ELSE 0L END")).cast("long").as("m1"),
         sum(expr("CASE WHEN event_type = 'purchase' THEN 1L ELSE 0L END")).cast("long").as("m2"))
-    val withC = graft.plans.GlobalRank.withExclusivePrefixSum(
-      pv, "c1", col("m1"), Seq(col("value").asc))
-    val withC2 = graft.plans.GlobalRank.withExclusivePrefixSum(
-      withC, "c2", col("m2"), Seq(col("value").asc))
+    // same combined-machinery rewrite as statStochasticDominance (r14)
+    val withC2 = graft.plans.GlobalRank.withRankAndPrefixSums(pv, None,
+      Seq((col("m1"), "c1"), (col("m2"), "c2")), Seq(col("value").asc))
     val tot = pv.agg(sum(col("m1")).cast("long").as("n1"), sum(col("m2")).cast("long").as("n2"))
     val base = withC2.crossJoin(broadcast(tot))
       .select(col("value"), col("m1"), col("m2"), col("c1"), col("c2"), col("n1"), col("n2"),

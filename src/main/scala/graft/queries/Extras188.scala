@@ -142,6 +142,10 @@ object Extras188 {
       .join(orders(s, d).select(col("o_orderkey").as("l_orderkey"),
         expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").as("c")),
         Seq("l_orderkey"))
+      // r14: pin the joined per-order frame — the two median broadcast
+      // subqueries and the final agg otherwise each recompute the
+      // lineitem aggregate + orders join (3 heavy passes → 1)
+      .localCheckpoint(false)
     // the c-margin histogram is keyed by near-unique order-total cents
     // (corpus-scale): its cumulative runs on GlobalRank's two-pass
     // prefix sum, never a single-task global window (inclusive cum =

@@ -41,13 +41,12 @@ object Extras214 {
       .agg(sum(col("a")).as("na"), sum(lit(1L) - col("a")).as("nb"))
     val tot = pv.agg(sum(col("na")).cast("long").as("tna"),
       sum(col("nb")).cast("long").as("tnb"))
-    val rn = graft.plans.GlobalRank
-      .withGlobalRowNumber(pv, "rn", Seq(col("cv").asc))
-    val cum = graft.plans.GlobalRank.withExclusivePrefixSum(
-      graft.plans.GlobalRank.withExclusivePrefixSum(
-        rn, "pa", col("na"), Seq(col("cv").asc)),
-      "pb", col("nb"), Seq(col("cv").asc))
-    val nxt = rn.select((col("rn") - 1).as("rn"), col("cv").as("cv_next"))
+    // rank + two prefix sums over the SAME cv-order: one combined
+    // two-pass machinery instead of three (r14); the neighbor frame
+    // reads the same combined output, not a second rank pass
+    val cum = graft.plans.GlobalRank.withRankAndPrefixSums(pv, Some("rn"),
+      Seq((col("na"), "pa"), (col("nb"), "pb")), Seq(col("cv").asc))
+    val nxt = cum.select((col("rn") - 1).as("rn"), col("cv").as("cv_next"))
     // inner join drops the max-rank row: its |F_A−F_B| is 0 anyway
     cum.join(nxt, "rn")
       .crossJoin(broadcast(tot))

@@ -89,8 +89,10 @@ object Extras221 {
       .groupBy(expr("date_trunc('month', o_orderdate)").as("m"))
       .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)"))
         .cast("long").as("v"))
-    val idx = graft.plans.GlobalRank
-      .withGlobalRowNumberAndTotal(ms, "rn", "nn", Seq(col("m").asc))
+    // calendar-bounded monthly frame: single-task window instead of
+    // the two-pass machinery (r14; plan-gate legal via date_trunc)
+    val idx = graft.plans.BoundedPrefix
+      .rowNumberAndTotal(ms, "rn", "nn", Seq(col("m").asc))
       .select((col("rn") - 1).as("t"), col("nn"), col("v"))
       .withColumn("seg", expr("least(t * 4 div nn, 3L)"))
     idx.groupBy("seg")

@@ -35,10 +35,10 @@ object Extras237 {
     val pv = ev.groupBy("v").agg(
       sum(expr("CASE WHEN grp = 'click' THEN 1L ELSE 0L END")).cast("long").as("c1"),
       sum(expr("CASE WHEN grp = 'view' THEN 1L ELSE 0L END")).cast("long").as("c2"))
-    val sp1 = graft.plans.GlobalRank.withExclusivePrefixSum(
-      pv, "cb1", col("c1"), Seq(col("v").asc))
-    val sp2 = graft.plans.GlobalRank.withExclusivePrefixSum(
-      sp1, "cb2", col("c2"), Seq(col("v").asc))
+    // two prefix sums over the SAME v-order: one combined two-pass
+    // machinery instead of two (r14, GlobalRank.withRankAndPrefixSums)
+    val sp2 = graft.plans.GlobalRank.withRankAndPrefixSums(pv, None,
+      Seq((col("c1"), "cb1"), (col("c2"), "cb2")), Seq(col("v").asc))
     val tot = pv.agg(sum(col("c1")).cast("long").as("n1"),
       sum(col("c2")).cast("long").as("n2"))
     sp2.crossJoin(broadcast(tot))

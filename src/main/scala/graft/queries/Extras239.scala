@@ -85,7 +85,9 @@ object Extras239 {
     val pv = o.groupBy("v").agg(count(lit(1)).cast("long").as("cntv"))
     val spine = graft.plans.GlobalRank.withExclusivePrefixSum(
       pv, "c_before", col("cntv"), Seq(col("v").asc))
-    val tot = pv.agg(sum(col("cntv")).cast("long").as("nn"))
+    // r14: the total rides the pinned spine (exact long sum), not a
+    // second orders scan + re-aggregation per broadcast consumer
+    val tot = spine.agg(sum(col("cntv")).cast("long").as("nn"))
     // uq = round(1e12 * r / (N+1)); r = (2*c_before + cntv + 1)/2
     val uspine = spine.crossJoin(broadcast(tot))
       .selectExpr("v", "cntv", "nn",

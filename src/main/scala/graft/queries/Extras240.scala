@@ -105,15 +105,22 @@ object Extras240 {
       .join(customer(s, d).selectExpr("c_custkey AS o_custkey", "c_mktsegment"), "o_custkey")
       .select(expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("j"),
         col("c_mktsegment").as("seg"))
-    val ref = o.groupBy("j").agg(count(lit(1)).cast("long").as("cj"))
+    // r14: ONE orders⋈customer pass — the 5×5 (seg, j) cell counts are
+    // pinned and the reference margin rolls up from them exactly (long
+    // sums), instead of the old two full join passes (ref + cells);
+    // the 5-row ridit spine is a single-task window (whitelisted: the
+    // pin severs the substring(o_orderpriority) proof)
+    val sj = o.groupBy("seg", "j").agg(count(lit(1)).cast("long").as("nsj"))
+      .localCheckpoint(false)
+    val ref = sj.groupBy("j").agg(sum(col("nsj")).cast("long").as("cj"))
     val tot = ref.agg(sum(col("cj")).cast("long").as("nn"))
-    val rid = graft.plans.GlobalRank.withExclusivePrefixSum(
+    val rid = graft.plans.BoundedPrefix.prefixSum(
       ref, "cb", col("cj"), Seq(col("j").asc))
       .crossJoin(broadcast(tot))
       .selectExpr("j",
         """CAST(floor((CAST(cb AS DOUBLE) + CAST(cj AS DOUBLE) / 2) / nn * 1e12 + 0.5)
           |AS BIGINT) AS rq""".stripMargin)
-    o.groupBy("seg", "j").agg(count(lit(1)).cast("long").as("nsj"))
+    sj
       .join(broadcast(rid), "j")
       .groupBy("seg")
       .agg(sum(col("nsj")).cast("long").as("n_seg"),

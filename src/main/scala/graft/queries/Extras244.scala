@@ -205,14 +205,21 @@ object Extras244 {
     * wild — and the exhibit of how much tail the raw r was buying.
     */
   def statWinsorizedCorr(s: SparkSession, d: String): DataFrame = {
+    // r14: no eager checkpoint — the three consumers re-read the
+    // column-pruned parquet scan (cheaper than materializing 600k rows,
+    // and it lets the plan gate prove the x histogram's bounded domain)
     val li = lineitem(s, d).select(
       expr("CAST(l_quantity AS BIGINT)").as("x"),
       expr("CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)").as("y"))
-      .localCheckpoint(true)
     def thresholds(cn: String): DataFrame = {
       val pv = li.groupBy(cn).agg(count(lit(1)).cast("long").as("c"))
-      val spine = graft.plans.GlobalRank.withExclusivePrefixSum(
-        pv, "cb", col("c"), Seq(col(cn).asc))
+      // x = l_quantity (1..50, bounded): single-task window; y = price
+      // cents (corpus-scale histogram): two-pass GlobalRank
+      val spine =
+        if (cn == "x") graft.plans.BoundedPrefix.prefixSum(
+          pv, "cb", col("c"), Seq(col(cn).asc))
+        else graft.plans.GlobalRank.withExclusivePrefixSum(
+          pv, "cb", col("c"), Seq(col(cn).asc))
       val n = pv.agg(sum(col("c")).cast("long").as("n"))
       spine.crossJoin(broadcast(n))
         .selectExpr(s"$cn AS v", "cb", "c", "n")

@@ -204,10 +204,11 @@ object Extras247 {
     */
   def statAucGini(s: SparkSession, d: String): DataFrame = {
     val g = strata(s, d).selectExpr("pq", "ng", "og", "ng - og AS zg")
-    val spine = graft.plans.GlobalRank.withExclusivePrefixSum(
-      graft.plans.GlobalRank.withExclusivePrefixSum(
-        g, "cumz", col("zg"), Seq(col("pq").asc)),
-      "cumo", col("og"), Seq(col("pq").asc))
+    // the 11-value discount strata are a bounded frame: one shared
+    // single-task WindowExec replaces two full GlobalRank machineries
+    // (r14 optimization; plan-gate legal via the l_discount grouping)
+    val spine = graft.plans.BoundedPrefix.prefixSums(
+      g, Seq((col("zg"), "cumz"), (col("og"), "cumo")), Seq(col("pq").asc))
     val tot = g.agg(sum(col("og")).cast("long").as("o"),
       sum(col("zg")).cast("long").as("z"))
     spine.crossJoin(broadcast(tot))

@@ -278,10 +278,10 @@ object Extras249 {
       .withColumn("pq", expr(
         "CAST(floor(1e12 / (1 + exp(-(CAST(-0.7 AS DOUBLE) + 3 * x))) + 0.5) AS BIGINT)"))
       .selectExpr("pq", "og", "ng - og AS zg")
-    val spine = graft.plans.GlobalRank.withExclusivePrefixSum(
-      graft.plans.GlobalRank.withExclusivePrefixSum(
-        g, "cumz", col("zg"), Seq(col("pq").asc)),
-      "cumo", col("og"), Seq(col("pq").asc))
+    // bounded 11-row strata: shared single-task window, no GlobalRank
+    // machinery (r14; plan-gate legal via the l_discount grouping)
+    val spine = graft.plans.BoundedPrefix.prefixSums(
+      g, Seq((col("zg"), "cumz"), (col("og"), "cumo")), Seq(col("pq").asc))
     val tot = g.agg(sum(col("og")).cast("long").as("o"),
       sum(col("zg")).cast("long").as("z"))
     spine.crossJoin(broadcast(tot))

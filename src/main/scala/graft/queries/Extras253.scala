@@ -486,10 +486,10 @@ object Extras253 {
     val vals = orders(s, d)
       .select(expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").as("v"),
         col("o_orderkey").as("k"))
-    val ranked = graft.plans.GlobalRank.withExclusivePrefixSum(
-      graft.plans.GlobalRank.withGlobalRowNumber(
-        vals, "i", Seq(col("v").asc, col("k").asc)),
-      "sv0", col("v"), Seq(col("v").asc, col("k").asc))
+    // rank + prefix sum over the SAME (v, k)-order: one combined
+    // two-pass machinery instead of two (r14)
+    val ranked = graft.plans.GlobalRank.withRankAndPrefixSums(vals,
+      Some("i"), Seq((col("v"), "sv0")), Seq(col("v").asc, col("k").asc))
     val tot = vals.agg(count(lit(1)).cast("long").as("n"),
       sum(col("v")).cast("decimal(38,0)").as("sv"))
     ranked.crossJoin(broadcast(tot))

@@ -30,10 +30,15 @@ object Extras69 {
       .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
     def rank2(vcol: String): DataFrame = {
       val per = pairs.groupBy(col(vcol)).agg(count(lit(1)).as("cnt"))
-      graft.plans.GlobalRank.withExclusivePrefixSum(
+      // r14: x = l_quantity (1..50 bounded) rides a single-task window;
+      // y = extendedprice (corpus-scale histogram) keeps GlobalRank
+      val spine =
+        if (vcol == "x") graft.plans.BoundedPrefix.prefixSum(
           per, "c_before", col("cnt"), Seq(col(vcol).asc))
-        .select(col(vcol),
-          (lit(2) * col("c_before") + col("cnt") + 1).as(s"r2_$vcol"))
+        else graft.plans.GlobalRank.withExclusivePrefixSum(
+          per, "c_before", col("cnt"), Seq(col(vcol).asc))
+      spine.select(col(vcol),
+        (lit(2) * col("c_before") + col("cnt") + 1).as(s"r2_$vcol"))
     }
     val sums = pairs
       .join(rank2("x"), "x").join(rank2("y"), "y")

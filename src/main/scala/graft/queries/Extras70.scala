@@ -42,6 +42,9 @@ object Extras70 {
       docs, "g_before", col("n_tok"), Seq(col("lang").asc, col("h").asc))
     val langOffsets = docs.groupBy(col("lang").as("ol_lang"))
       .agg(sum(col("n_tok")).as("lang_tok"))
+    // (r14 note: a single-task window here measured SLOWER than the
+    // machinery — GlobalRank's internal pin stops the offsets branch
+    // from recomputing the documents aggregate. Kept on GlobalRank.)
     val offsets = graft.plans.GlobalRank.withExclusivePrefixSum(
         langOffsets, "lang_off", col("lang_tok"), Seq(col("ol_lang").asc))
       .select(col("ol_lang"), col("lang_off"))

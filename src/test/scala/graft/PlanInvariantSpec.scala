@@ -276,6 +276,7 @@ object PlanInvariantSpec {
     // so the bounded proof is carried by the reserved name instead.
     // Domain ≤ the repartitionByRange partition count.
     "_gsum_pid" -> "spark_partition_id() <= N_partitions (GlobalRank prefix-sum pass)",
+    "_gmulti_pid" -> "spark_partition_id() <= N_partitions (GlobalRank combined rank+prefix pass)",
     "_grank_pid" -> "spark_partition_id() <= N_partitions (GlobalRank rank pass)",
     "_gmax_pid" -> "spark_partition_id() <= N_partitions (GlobalRank prefix-max pass)")
 
@@ -410,5 +411,6 @@ object PlanInvariantSpec {
   val globalWindowWhitelist: Map[String, String] = Map(
     "embed_spectral_decay" -> "frame = per-dim variances from posexplode(embedding): 64 rows (embedding dim is schema metadata, Extras182.scala:29)",
     "graph_degree_gini" -> "frame = degree histogram of the synthetic 3-arc graph: degree <= ~6 by construction (each node emits exactly 3 arcs, Extras196.scala:278-283)",
-    "win_volume_profile" -> "frame = $100 price buckets of the FIXED TPC-H extendedprice domain (~1050 buckets at any sf, Extras170.scala:168-171)")
+    "win_volume_profile" -> "frame = $100 price buckets of the FIXED TPC-H extendedprice domain (~1050 buckets at any sf, Extras170.scala:168-171)",
+    "stat_ridit_analysis" ->"frame = the r14-pinned 5x5 (mktsegment, priority-digit) cell counts rolled up to the 5-row priority margin (both domains TPC-H enums, Extras240.scala) - the pin severs the substring(o_orderpriority) proof")
 }
