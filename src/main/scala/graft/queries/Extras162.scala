@@ -139,12 +139,14 @@ object Extras162 {
       .withColumn("packed", expr("cnt * 4294967296L + pos"))
     val pre = graft.plans.GlobalRank.withExclusivePrefixSum(
       byV, "pfx", col("packed"), Seq(col("v").asc))
-      .selectExpr("v",
+      .selectExpr("v", "cnt", "pos",
         "CAST((pfx + packed) div 4294967296L AS BIGINT) AS cl",
         "CAST((pfx + packed) % 4294967296L AS BIGINT) AS pl")
-    val tot = rows.agg(count(lit(1)).cast("long").as("n"),
-      sum(col("y")).cast("long").as("p"))
-    val cand = pre.crossJoin(broadcast(tot))
+    // r14: totals roll up exactly from the pinned spine — not a second
+    // lineitem scan + aggregation
+    val tot = pre.agg(sum(col("cnt")).cast("long").as("n"),
+      sum(col("pos")).cast("long").as("p"))
+    val cand = pre.drop("cnt", "pos").crossJoin(broadcast(tot))
       .filter(col("cl") < col("n"))
       // predict positive when v > threshold: TPR = (p-pl)/p, FPR = (n-cl-p+pl)/(n-p)
       .withColumn("j", expr(

@@ -34,7 +34,9 @@ object Extras187 {
     // machinery instead of two (r14, GlobalRank.withRankAndPrefixSums)
     val withC2 = graft.plans.GlobalRank.withRankAndPrefixSums(pv, None,
       Seq((col("m1"), "c1"), (col("m2"), "c2")), Seq(col("value").asc))
-    val tot = pv.agg(sum(col("m1")).cast("long").as("n1"), sum(col("m2")).cast("long").as("n2"))
+    // r14: totals off the pinned spine (exact longs), not a second
+    // events scan + aggregation
+    val tot = withC2.agg(sum(col("m1")).cast("long").as("n1"), sum(col("m2")).cast("long").as("n2"))
     withC2.crossJoin(broadcast(tot))
       .selectExpr("(c1 + m1) * n2 AS f1x", "(c2 + m2) * n1 AS f2x", "n1", "n2",
         "CAST((c1 + m1) AS DOUBLE) / n1 - CAST((c2 + m2) AS DOUBLE) / n2 AS gap")
@@ -90,7 +92,9 @@ object Extras187 {
     // same combined-machinery rewrite as statStochasticDominance (r14)
     val withC2 = graft.plans.GlobalRank.withRankAndPrefixSums(pv, None,
       Seq((col("m1"), "c1"), (col("m2"), "c2")), Seq(col("value").asc))
-    val tot = pv.agg(sum(col("m1")).cast("long").as("n1"), sum(col("m2")).cast("long").as("n2"))
+    // r14: totals off the pinned spine (exact longs), not a second
+    // events scan + aggregation
+    val tot = withC2.agg(sum(col("m1")).cast("long").as("n1"), sum(col("m2")).cast("long").as("n2"))
     val base = withC2.crossJoin(broadcast(tot))
       .select(col("value"), col("m1"), col("m2"), col("c1"), col("c2"), col("n1"), col("n2"),
         explode(expr("array(1, 2, 3, 4, 5, 6, 7, 8, 9)")).as("dec"))

@@ -39,13 +39,15 @@ object Extras214 {
         when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L).as("a"))
     val pv = base.groupBy("cv")
       .agg(sum(col("a")).as("na"), sum(lit(1L) - col("a")).as("nb"))
-    val tot = pv.agg(sum(col("na")).cast("long").as("tna"),
-      sum(col("nb")).cast("long").as("tnb"))
     // rank + two prefix sums over the SAME cv-order: one combined
     // two-pass machinery instead of three (r14); the neighbor frame
-    // reads the same combined output, not a second rank pass
+    // reads the same combined output, not a second rank pass, and the
+    // totals roll up exactly from the pinned spine (longs) instead of
+    // re-running the customer⋈orders aggregation
     val cum = graft.plans.GlobalRank.withRankAndPrefixSums(pv, Some("rn"),
       Seq((col("na"), "pa"), (col("nb"), "pb")), Seq(col("cv").asc))
+    val tot = cum.agg(sum(col("na")).cast("long").as("tna"),
+      sum(col("nb")).cast("long").as("tnb"))
     val nxt = cum.select((col("rn") - 1).as("rn"), col("cv").as("cv_next"))
     // inner join drops the max-rank row: its |F_A−F_B| is 0 anyway
     cum.join(nxt, "rn")

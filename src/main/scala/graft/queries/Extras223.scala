@@ -156,16 +156,22 @@ object Extras223 {
       expr("""CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)
         | * CAST(100 - CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)""".stripMargin)
         .as("r"))
-    val months = li.agg(countDistinct(col("m")).cast("long").as("mm"))
+    // r14: pin the (part, month) frame — the month count, the per-part
+    // rollup and the revenue total all derive from it exactly, so
+    // lineitem is scanned ONCE (was 3×: pm inside the rank pass, a
+    // countDistinct scan, and a second pm+per chain under the total)
     val pm = li.groupBy("l_partkey", "m")
       .agg(sum(col("q")).cast("long").as("mq"), sum(col("r")).cast("decimal(38,0)").as("mr"))
+      .localCheckpoint(false)
+    val months = pm.agg(countDistinct(col("m")).cast("long").as("mm"))
     val per = pm.groupBy("l_partkey")
       .agg(sum(col("mq")).cast("decimal(38,0)").as("s1"),
         sum(expr("CAST(mq AS DECIMAL(38,0)) * mq")).cast("decimal(38,0)").as("s2"),
         sum(col("mr")).cast("decimal(38,0)").as("rev"))
-    val tot = per.agg(sum(col("rev")).cast("decimal(38,0)").as("trev"))
     val ranked = graft.plans.GlobalRank.withExclusivePrefixSum(
       per, "cumx", col("rev"), Seq(col("rev").desc, col("l_partkey").asc))
+    // exact decimal rollup off the pinned rank spine, not a second pass
+    val tot = ranked.agg(sum(col("rev")).cast("decimal(38,0)").as("trev"))
     val classed = ranked.crossJoin(broadcast(months)).crossJoin(broadcast(tot))
       .selectExpr("rev",
         """CASE WHEN (cumx + rev) * 5 <= trev * 4 THEN 'A'

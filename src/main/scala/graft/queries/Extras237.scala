@@ -39,7 +39,9 @@ object Extras237 {
     // machinery instead of two (r14, GlobalRank.withRankAndPrefixSums)
     val sp2 = graft.plans.GlobalRank.withRankAndPrefixSums(pv, None,
       Seq((col("c1"), "cb1"), (col("c2"), "cb2")), Seq(col("v").asc))
-    val tot = pv.agg(sum(col("c1")).cast("long").as("n1"),
+    // r14: totals off the pinned spine (exact longs), not a second
+    // events scan + aggregation
+    val tot = sp2.agg(sum(col("c1")).cast("long").as("n1"),
       sum(col("c2")).cast("long").as("n2"))
     sp2.crossJoin(broadcast(tot))
       .select(col("n1"), col("n2"), (col("c1") + col("c2")).as("w"),

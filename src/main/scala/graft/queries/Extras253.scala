@@ -490,7 +490,8 @@ object Extras253 {
     // two-pass machinery instead of two (r14)
     val ranked = graft.plans.GlobalRank.withRankAndPrefixSums(vals,
       Some("i"), Seq((col("v"), "sv0")), Seq(col("v").asc, col("k").asc))
-    val tot = vals.agg(count(lit(1)).cast("long").as("n"),
+    // r14: totals off the pinned spine, not a second orders scan
+    val tot = ranked.agg(count(lit(1)).cast("long").as("n"),
       sum(col("v")).cast("decimal(38,0)").as("sv"))
     ranked.crossJoin(broadcast(tot))
       .filter(expr("i < n"))

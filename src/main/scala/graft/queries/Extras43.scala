@@ -23,18 +23,19 @@ object Extras43 {
   def streamFanoutMultiSink(s: SparkSession, d: String): DataFrame = {
     val sch = Streaming.rawSchema(s, d)
     val dir = Streaming.stageDir(s, d, copies = 1, sentinels = true)
-    val byType = Streaming.runToBatch(s,
-      Streaming.eventStream(s, dir, sch)
+    // r14: the two sinks run CONCURRENTLY (guide §2.6) — the truer
+    // fan-out deployment shape, and the wall time of one chain, not two
+    val Seq(byType, byUserBand) = Streaming.runToBatchAll(s, Seq(
+      (Streaming.eventStream(s, dir, sch)
         .filter(col("user_id") >= 0)
         .withWatermark("ets", "1 hour")
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n")), "complete")
-    val byUserBand = Streaming.runToBatch(s,
-      Streaming.eventStream(s, dir, sch)
+        .agg(count(lit(1)).as("n")), "complete"),
+      (Streaming.eventStream(s, dir, sch)
         .filter(col("user_id") >= 0)
         .withWatermark("ets", "1 hour")
         .groupBy((col("user_id") % 10).as("user_band"))
-        .agg(dsum(col("value")).as("sum_value")), "complete")
+        .agg(dsum(col("value")).as("sum_value")), "complete")))
     byType.agg(sum(col("n")).as("n_events"),
         count(lit(1)).cast("bigint").as("n_types"))
       .crossJoin(byUserBand.agg(

@@ -157,6 +157,35 @@ object Streaming {
     s.table(name)
   }
 
+  /** r14: start SEVERAL independent AvailableNow queries and await them
+    * together (guide §2.6 — overlap independent jobs). The sequential
+    * shape paid each stream's full micro-batch chain back to back; the
+    * concurrent shape is also the truer multi-sink deployment: one
+    * source fanned out to sinks that each keep their own checkpoint.
+    * Results are identical — each query is the same isolated
+    * AvailableNow replay into its own memory sink.
+    */
+  private[graft] def runToBatchAll(s: SparkSession, dfs: Seq[(DataFrame, String)],
+      statePartitions: Int = 4): Seq[DataFrame] = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val qs =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+        dfs.map { case (df, mode) =>
+          val name = s"graft_mem_${ctr.incrementAndGet()}"
+          name -> df.writeStream
+            .format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_").toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+        }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    qs.foreach(_._2.awaitTermination())
+    qs.map { case (name, _) => s.table(name) }
+  }
+
   /** B46 stream_tumbling_count — 1h tumbling windows over the event
     * stream, watermark + append mode (the production shape: state is
     * evicted as the watermark passes, emitted exactly once).
