@@ -236,12 +236,16 @@ object Extras147 {
         """transform(embedding,
           |  x -> cast(greatest(least(floor(cast(x as double) * 127 + 0.5), 127), -127)
           |    as bigint))""".stripMargin).as("qv"))
+    // r14: codegen'd exact integer distance (graft.functions.QuantSqDist)
+    // — bit-identical to the interpreted aggregate(zip_with(...)) fold
+    // it replaces (exact long sums are order-independent), and it stays
+    // inside the whole-stage-codegen join loop (guide §4)
+    graft.functions.QuantSqDist.register(s)
     val pairs = q.select(col("vec_id").as("a"), col("qv").as("qa"))
       .join(q.select(col("vec_id").as("b"), col("qv").as("qb")),
         col("a") =!= col("b"))
       .selectExpr("a", "b",
-        """aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)),
-          |  0L, (acc, v) -> acc + v) AS d2""".stripMargin)
+        s"${graft.functions.QuantSqDist.name}(qa, qb) AS d2")
     // nearest by (d2, b); second nearest = min over the rest
     val first = pairs.groupBy("a").agg(min(struct(col("d2"), col("b"))).as("m"))
       .select(col("a"), col("m.d2").as("r1"), col("m.b").as("b1"))

@@ -30,15 +30,21 @@ object Extras202 {
       // own-norm hoisted BEFORE the pair fan-out (it is per-vector, not per-pair)
       .withColumn("nq", expr("aggregate(transform(qv, a -> a * a), 0L, (acc, x) -> acc + x)"))
     val probes = q.filter(col("vec_id") < 100)
-      .select(col("vec_id").as("pid"), col("qv").as("pv")).limit(128)
+      .select(col("vec_id").as("pid"), col("qv").as("pv"), col("nq").as("np"))
+      .limit(128)
+    // r14: ONE codegen'd exact squared distance per pair
+    // (graft.functions.QuantSqDist, guide §4) and the dot derived
+    // EXACTLY from the hoisted norms: Σab = (Σa² + Σb² − Σ(a−b)²)/2 —
+    // all longs (≤ ~9e13), the numerator is even by construction, so
+    // the division is exact and dot is bit-identical to the old
+    // interpreted zip_with fold
+    graft.functions.QuantSqDist.register(s)
     val pairs = q.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("pid"))
       .select(col("pid"), col("vec_id"),
-        // BIGINT accumulators: |q| <= ~6e5 so Σ64 q² <= ~2.2e13 — exact in
-        // long, and ~10x faster than Decimal in the interpreted HOF path
-        expr("aggregate(zip_with(qv, pv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)").as("dot"),
-        expr("aggregate(zip_with(qv, pv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)").as("sq"),
-        col("nq"))
+        expr(s"${graft.functions.QuantSqDist.name}(qv, pv)").as("sq"),
+        col("nq"), col("np"))
+      .withColumn("dot", expr("(nq + np - sq) div 2"))
     val wc = org.apache.spark.sql.expressions.Window.partitionBy("pid")
       .orderBy(expr("CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE))").desc, col("vec_id").asc)
     val we = org.apache.spark.sql.expressions.Window.partitionBy("pid")

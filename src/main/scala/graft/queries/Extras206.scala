@@ -140,10 +140,13 @@ object Extras206 {
       expr("transform(embedding, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT))").as("qv"))
     val probes = q.filter(col("vec_id") < 100)
       .select(col("vec_id").as("pid"), col("qv").as("pv")).limit(128)
+    // r14: codegen'd exact integer distance — bit-identical to the
+    // interpreted HOF fold it replaces (guide §4)
+    graft.functions.QuantSqDist.register(s)
     val pairs = q.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("pid"))
       .select(col("pid"), col("vec_id"),
-        expr("aggregate(zip_with(qv, pv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)").as("sq"))
+        expr(s"${graft.functions.QuantSqDist.name}(qv, pv)").as("sq"))
     val ranked = pairs.withColumn("r", row_number().over(
       org.apache.spark.sql.expressions.Window.partitionBy("pid")
         .orderBy(col("sq").asc, col("vec_id").asc)))

@@ -145,12 +145,20 @@ object Extras221 {
   def embedCslsRetrieval(s: SparkSession, d: String): DataFrame = {
     val q = embeddings(s, d).select(col("vec_id"),
       expr("transform(embedding, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT))").as("qv"))
+      // own-norm hoisted per vector (not per pair): feeds the exact
+      // derived dot below
+      .withColumn("nv", expr("aggregate(transform(qv, a -> a * a), 0L, (acc, x) -> acc + x)"))
     val probes = q.filter(col("vec_id") < 100)
-      .select(col("vec_id").as("pid"), col("qv").as("pv")).limit(128)
+      .select(col("vec_id").as("pid"), col("qv").as("pv"), col("nv").as("np"))
+      .limit(128)
     val db = q.filter(col("vec_id") >= 100)
+    // r14: codegen'd exact squared distance + exact derived dot
+    // Σab = (Σa² + Σb² − Σ(a−b)²)/2 (even numerator, long-exact) —
+    // bit-identical to the interpreted zip_with fold (guide §4)
+    graft.functions.QuantSqDist.register(s)
     val pairs = db.crossJoin(broadcast(probes))
       .select(col("pid"), col("vec_id"),
-        expr("aggregate(zip_with(qv, pv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)").as("dq"))
+        expr(s"(nv + np - ${graft.functions.QuantSqDist.name}(qv, pv)) div 2").as("dq"))
     val wP = org.apache.spark.sql.expressions.Window
       .partitionBy("pid").orderBy(col("dq").desc, col("vec_id").asc)
     val wY = org.apache.spark.sql.expressions.Window

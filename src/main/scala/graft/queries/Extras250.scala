@@ -548,6 +548,7 @@ object Extras250 {
     * quantize ·1e12 before the exact sums.
     */
   def embedMmdRbf(s: SparkSession, d: String): DataFrame = {
+    graft.functions.QuantSqDist.register(s)
     val emb = embeddings(s, d).select(col("vec_id").as("id"),
       expr("label % 2 = 0").as("ga"),
       expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1e6 + 0.5) AS BIGINT))").as("qv"))
@@ -572,8 +573,9 @@ object Extras250 {
         .crossJoin(broadcast(pan))
       val pairs = if (exclude) base.filter(col("id") =!= col("pid")) else base
       pairs.crossJoin(broadcast(dims))
-        .withColumn("d2", expr(
-          "aggregate(zip_with(pv, qv, (x, y) -> (x - y) * (x - y)), 0L, (a, t) -> a + t)"))
+        // r14: codegen'd exact integer distance — bit-identical to the
+        // interpreted HOF fold it replaces (guide §4)
+        .withColumn("d2", expr(s"${graft.functions.QuantSqDist.name}(pv, qv)"))
         .select(expr(
           "CAST(floor(exp(-(CAST(d2 AS DOUBLE) / 1e12) / (2 * v2)) * 1e12 + 0.5) AS BIGINT)").as("kq"))
         .agg(count(lit(1)).cast("long").as(s"${tag}_n"),
