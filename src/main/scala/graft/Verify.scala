@@ -42,7 +42,10 @@ object Verify {
     // the default, not NumberFormatException-abort the whole dump before
     // any query runs (the r12 zero-correctness failure class)
     val par = scala.util.Try(
-      sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "8").trim.toInt
+      // defensive parse (r13 ADVICE): a malformed value must not abort
+      // the whole correctness dump before any query runs
+      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "8").trim.toInt)
+        .getOrElse(8).max(1)
     ).getOrElse(8).max(1)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
     SparkEntry.queries
