@@ -367,6 +367,41 @@ object Bench {
   private val flagships = Seq("agg_hash_groupby", "join_inner_hash",
     "win_rank", "dedup_exact", "sim_topk_cosine", "text_bm25_rank")
 
+  /** Rows whose per-query visibility matters for round-over-round
+    * comparison beyond the slowest-N set: every row the current
+    * optimization round touched. The r14 short line carried only the 6
+    * flagships, so the driver's PERF compared 6 of 1093 queries — the
+    * r15 fix (r14 verdict item #2) is flagships + these + the ~30
+    * slowest measured rows, all inside the driver's 2000-char log-tail
+    * capture window.
+    */
+  private val spotlight = Seq(
+    "stat_spearman_corr", "dedup_bbit_minhash", "text_chrf",
+    "graph_hits_fixed", "stat_chi_square", "dedup_containment",
+    "stat_median_ci_exact", "agg_equidepth_histogram", "embed_pca_power",
+    "dedup_embed_cosine", "stat_sprt_sequential", "stat_gage_rr",
+    "sample_psis_khat", "event_funnel", "text_cooccurrence_pmi",
+    "stat_pinball_loss")
+
+  /** The short-summary per-query sample: flagships, then the round's
+    * spotlight rows, then the slowest measured rows, deduped, greedily
+    * packed until the assembled summary line would exceed the driver's
+    * capture window (flagships always fit — they come first).
+    */
+  private[graft] def summarySample(times: Map[String, Double],
+      budgetChars: Int = 1550): Seq[String] = {
+    val slowest = times.toSeq.sortBy(-_._2).map(_._1)
+    val candidates =
+      (flagships ++ spotlight ++ slowest).distinct.filter(times.contains)
+    val picked = scala.collection.mutable.ListBuffer.empty[String]
+    var used = 0
+    candidates.foreach { k =>
+      val cost = k.length + 12 // "name":12.345, incl. quotes+comma
+      if (used + cost <= budgetChars) { picked += k; used += cost }
+    }
+    picked.toList
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -421,7 +456,7 @@ object Bench {
     println(json)
     // Short driver-parseable summary — the LAST lines of the run.
     val times = result.times.toMap
-    val sample = flagships.filter(times.contains)
+    val sample = summarySample(times)
       .map(k => "\"" + k + "\":" + f(times(k))).mkString("{", ",", "}")
     val total = result.staging + result.times.map(_._2).sum
     val errs = result.errors.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -47,6 +47,24 @@ import org.apache.spark.sql.functions._
   */
 object GlobalRank {
 
+  /** Range-partition count for the spine exchange. `partitions <= 0`
+    * (the default everywhere) derives it from
+    * `spark.sql.shuffle.partitions` — scale-adaptive instead of the
+    * r8–r14 hardcoded 32, which was correct at any count but a scale
+    * bottleneck: 32 range partitions over a 100 TB spine serializes
+    * the heavy rank/prefix stages onto 32 tasks no matter how wide the
+    * cluster is (r14 verdict item #4). The output is
+    * partition-count-independent (exact types, tie-free total order —
+    * the global prefix is unique), so deriving from the session conf
+    * changes plans, never results; the local bench sets
+    * `spark.sql.shuffle.partitions` to the core count, so at
+    * SPARK_GRAFT_CPUS=32 the derived count equals the old constant and
+    * ledgers stay like-for-like.
+    */
+  private def resolve(df: DataFrame, partitions: Int): Int =
+    if (partitions > 0) partitions
+    else df.sparkSession.sessionState.conf.numShufflePartitions
+
   /** Executed plans of frames pinned in this JVM (bounded ring) —
     * PLAN-TEST VISIBILITY ONLY: `localCheckpoint` hides the pinned
     * subtree from the consumer's explain, so scan-level assertions
@@ -78,7 +96,7 @@ object GlobalRank {
     * dropped.
     */
   def withGlobalRowNumber(df: DataFrame, rnCol: String, sortExprs: Seq[Column],
-      partitions: Int = 32): DataFrame =
+      partitions: Int = 0): DataFrame =
     ranked(df, rnCol, None, sortExprs, partitions)
 
   /** [[withGlobalRowNumber]] plus `totalCol` = the GLOBAL row count as
@@ -91,7 +109,7 @@ object GlobalRank {
     * subplan a third time).
     */
   def withGlobalRowNumberAndTotal(df: DataFrame, rnCol: String, totalCol: String,
-      sortExprs: Seq[Column], partitions: Int = 32): DataFrame =
+      sortExprs: Seq[Column], partitions: Int = 0): DataFrame =
     ranked(df, rnCol, Some(totalCol), sortExprs, partitions)
 
   /** Add `sumCol` = the EXCLUSIVE global prefix-sum of `valueCol` in the
@@ -114,8 +132,9 @@ object GlobalRank {
     * scaladoc invites).
     */
   def withExclusivePrefixSum(df: DataFrame, sumCol: String, valueCol: Column,
-      sortExprs: Seq[Column], partitions: Int = 32): DataFrame = {
-    val ranged = pinned(df.repartitionByRange(partitions, sortExprs: _*)
+      sortExprs: Seq[Column], partitions: Int = 0): DataFrame = {
+    val nPart = resolve(df, partitions)
+    val ranged = pinned(df.repartitionByRange(nPart, sortExprs: _*)
       .withColumn("_gsum_pid", spark_partition_id())
       .withColumn("_gsum_v", valueCol))
     // what sum(valueCol) resolves to for this input: the window
@@ -155,8 +174,9 @@ object GlobalRank {
     * Bit-identical to the global window for any orderable type.
     */
   def withExclusivePrefixMax(df: DataFrame, maxCol: String, valueCol: Column,
-      sortExprs: Seq[Column], partitions: Int = 32): DataFrame = {
-    val ranged = pinned(df.repartitionByRange(partitions, sortExprs: _*)
+      sortExprs: Seq[Column], partitions: Int = 0): DataFrame = {
+    val nPart = resolve(df, partitions)
+    val ranged = pinned(df.repartitionByRange(nPart, sortExprs: _*)
       .withColumn("_gmax_pid", spark_partition_id())
       .withColumn("_gmax_v", valueCol))
     val perPart = ranged.groupBy("_gmax_pid")
@@ -196,9 +216,9 @@ object GlobalRank {
     */
   def withRankAndPrefixSums(df: DataFrame, rnCol: Option[String],
       sums: Seq[(Column, String)], sortExprs: Seq[Column],
-      partitions: Int = 32): DataFrame = {
+      partitions: Int = 0): DataFrame = {
     val vNames = sums.indices.map(i => s"_gmulti_v$i")
-    val base0 = df.repartitionByRange(partitions, sortExprs: _*)
+    val base0 = df.repartitionByRange(resolve(df, partitions), sortExprs: _*)
       .withColumn("_gmulti_pid", spark_partition_id())
     val ranged = pinned(sums.zip(vNames).foldLeft(base0) {
       case (acc, ((valueCol, _), vn)) => acc.withColumn(vn, valueCol)
@@ -234,7 +254,7 @@ object GlobalRank {
 
   private def ranked(df: DataFrame, rnCol: String, totalCol: Option[String],
       sortExprs: Seq[Column], partitions: Int): DataFrame = {
-    val ranged = pinned(df.repartitionByRange(partitions, sortExprs: _*)
+    val ranged = pinned(df.repartitionByRange(resolve(df, partitions), sortExprs: _*)
       .withColumn("_grank_pid", spark_partition_id()))
     val counts = ranged.groupBy("_grank_pid").agg(count(lit(1)).as("_grank_cnt"))
     val wAll = Window.orderBy("_grank_pid")

@@ -68,4 +68,22 @@ class BenchPlanSpec extends AnyFunSuite {
         s"stage $stage consumers split across chunks $idxs — it would be staged ${idxs.size}x")
     }
   }
+
+  test("short-summary sample fits the driver's 2000-char capture window") {
+    // full-registry-sized times map with worst-case 4-digit seconds
+    val times = SparkEntry.queries.keySet.map(_ -> 9999.999).toMap
+    val sample = Bench.summarySample(times)
+    // flagships lead (stable contract rows), no duplicates, all measured
+    assert(sample.take(6) == Seq("agg_hash_groupby", "join_inner_hash",
+      "win_rank", "dedup_exact", "sim_topk_cosine", "text_bm25_rank"))
+    assert(sample.distinct.size == sample.size)
+    assert(sample.forall(times.contains))
+    // the assembled summary line (sample + the fixed fields) must stay
+    // inside the driver's 2000-char log-tail window
+    val qs = sample.map(k => "\"" + k + "\":9999.999").mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","staging":999.999,"restarts":99,"jvm_restarts":9,"n_queries":${times.size},"errors":[],"queries":$qs,"sf":"/root/testdata/sf0.1","full":"bench_out.json"}"""
+    assert(line.length <= 2000, s"summary line ${line.length} chars > 2000")
+    // and it must carry far more than the 6 flagships (r14 verdict #2)
+    assert(sample.size >= 30, s"only ${sample.size} rows in the sample")
+  }
 }
