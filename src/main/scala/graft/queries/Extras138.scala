@@ -253,14 +253,22 @@ object Extras138 {
       .select(col("ck"), lit(1000000L).as("a_mu"))
     var hub: DataFrame = null
     for (_ <- 1 to HitsIters) {
+      // r15: each half-iteration's join+aggregate used to execute TWICE
+      // — once under the broadcast max subquery and again under the
+      // scale projection (exact integers, so the pin cannot change
+      // results, only cut the recompute; guide §1.2 "don't compute
+      // things you throw away"). Pinning raw halves the per-iteration
+      // join work: 12 edge joins per run → 6.
       val hraw = edges.join(auth, "ck")
         .groupBy("sk").agg(sum(col("a_mu")).cast("long").as("raw"))
+        .localCheckpoint()
       val hmax = hraw.agg(max(col("raw")).cast("long").as("mx"))
       hub = hraw.crossJoin(broadcast(hmax))
         .selectExpr("sk", "(raw * 1000000L) div mx AS h_mu")
         .localCheckpoint()
       val araw = edges.join(hub, "sk")
         .groupBy("ck").agg(sum(col("h_mu")).cast("long").as("raw"))
+        .localCheckpoint()
       val amax = araw.agg(max(col("raw")).cast("long").as("mx"))
       auth = araw.crossJoin(broadcast(amax))
         .selectExpr("ck", "(raw * 1000000L) div mx AS a_mu")

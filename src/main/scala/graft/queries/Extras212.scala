@@ -117,15 +117,18 @@ object Extras212 {
   def dedupCdcChunking(s: SparkSession, d: String): DataFrame = {
     val base = documents(s, d)
       .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("len"))
-    val cuts = base
-      .select(col("doc_id"), col("text"), col("len"),
-        explode(expr("sequence(8L, len)")).as("p"))
-      .filter(expr(
-        "CAST(conv(substring(md5(substring(text, CAST(p - 7 AS INT), 8)), 1, 4), 16, 10) AS BIGINT) % 64 = 0"))
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(col("p"))).as("cuts"))
-    val chunks = base.join(cuts, Seq("doc_id"), "left")
-      .withColumn("cl", coalesce(col("cuts"), expr("CAST(array() AS ARRAY<BIGINT>)")))
+    // r15: the gate positions used to ride an explode-per-character +
+    // md5 expression + groupBy(doc_id) collect_list + left join back —
+    // a generated row, a fresh MessageDigest, a hex round-trip and a
+    // hash-aggregate probe PER CHARACTER of the corpus, plus an
+    // exchange of every cut. graft_cdc_cuts computes the identical
+    // ascending cut array in one digest-reusing pass per document (see
+    // CdcCutsKernel for the bit-identity argument), so the whole cut
+    // discovery now rides the scan with no shuffle at all (guide §1.2
+    // per-task work; §2.4 remove shuffles outright).
+    graft.functions.CdcCuts.register(s)
+    val chunks = base
+      .withColumn("cl", expr(s"${graft.functions.CdcCuts.name}(text)"))
       .select(col("doc_id"), col("text"),
         explode(expr(
           """arrays_zip(concat(array(1L), transform(cl, c -> c + 1)),

@@ -257,6 +257,23 @@ object Extras221 {
     * hash actually costs in resolution.
     */
   def dedupBbitMinhash(s: SparkSession, d: String): DataFrame = {
+    // r15: the signatures come straight off the raw text in ONE
+    // digest-reusing kernel pass — no 16× explode, no
+    // groupBy(doc_id, i) + collect_list exchanges, no shingle strings
+    // built at all (guide §1.2 step 2 + §2.4; the exploded formulation
+    // paid a generated row, a fresh MessageDigest, a hex round-trip
+    // and a hash-aggregate probe per shingle×salt — measured ~7 s of
+    // the row's ~10 s). Bit-identity argument (byte-span shingles,
+    // idempotent min, identical salt bytes) in MinHashMd5x16Kernel's
+    // scaladoc; kernel pass measured 0.9 s for the same signatures.
+    // The tiny (doc_id, 16×long) result is pinned EAGERLY: with no
+    // exchange in its subtree there is nothing for ReuseExchange to
+    // anchor, and the banding self-join + two est joins would re-run
+    // the kernel per reference (a LAZY pin races: concurrent consumer
+    // jobs each recomputed the chain before any had materialized it).
+    // The shingle-set side keeps the exploded collect_set shape — its
+    // est consumers share the aggregate exchange as before.
+    graft.functions.MinHashMd5x16.register(s)
     val sh = documents(s, d)
       .select(col("doc_id"), split(lower(col("text")), " ").as("a"))
       .select(col("doc_id"), explode(expr(
@@ -264,14 +281,11 @@ object Extras221 {
           |  array_distinct(transform(sequence(1, size(a) - 2),
           |    i -> concat_ws(' ', element_at(a, i), element_at(a, i + 1), element_at(a, i + 2))))
           |ELSE array() END""".stripMargin)).as("sg"))
-    val mins = sh
-      .select(col("doc_id"), explode(expr("sequence(0, 15)")).as("i"), col("sg"))
-      .groupBy("doc_id", "i")
-      .agg(min(expr(
-        "CAST(conv(substring(md5(concat('bb', CAST(i AS STRING), ':', sg)), 1, 12), 16, 10) AS BIGINT)"))
-        .as("h"))
-    val sigs = mins.groupBy("doc_id")
-      .agg(expr("transform(array_sort(collect_list(struct(i, h))), x -> x.h)").as("sig"))
+    val sigs = documents(s, d)
+      .select(col("doc_id"),
+        expr(s"${graft.functions.MinHashMd5x16.name}(text)").as("sig"))
+      .filter(col("sig").isNotNull)
+      .localCheckpoint(true)
     val shSets = sh.groupBy("doc_id")
       .agg(collect_set(col("sg")).as("ss"))
     val bands = sigs.select(col("doc_id"), explode(expr(

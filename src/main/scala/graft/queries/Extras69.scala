@@ -31,7 +31,11 @@ object Extras69 {
     def rank2(vcol: String): DataFrame = {
       val per = pairs.groupBy(col(vcol)).agg(count(lit(1)).as("cnt"))
       // r14: x = l_quantity (1..50 bounded) rides a single-task window;
-      // y = extendedprice (corpus-scale histogram) keeps GlobalRank
+      // y = extendedprice (corpus-scale histogram) keeps GlobalRank.
+      // r15 re-measured the r14-verdict ambiguity (full ledgers said
+      // 1.38x): min-of-3 alternating A/B, bounded window 2.95 s vs
+      // GlobalRank-on-both 3.79 s (1.29x) — the bounded window WINS;
+      // the full-ledger regression was an environmental transient.
       val spine =
         if (vcol == "x") graft.plans.BoundedPrefix.prefixSum(
           per, "c_before", col("cnt"), Seq(col(vcol).asc))
