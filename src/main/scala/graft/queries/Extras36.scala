@@ -101,14 +101,31 @@ object Extras36 {
     // lineage-nesting cost), recomputing round k-1 from scratch to
     // build round k. Pinned, each round touches only the k×dims
     // centroid frame plus one pass over q.
-    val q = embeddings(s, d).select(col("vec_id"),
-        posexplode(expr(
+    //
+    // r15 (guide §4): each round's distance pass used to posexplode
+    // the corpus 64× and join the per-dim centroid rows on dim —
+    // n·64·k rows ground through a (vec_id, c)-keyed hash aggregate,
+    // 4× per fit. The SAME exact integer d2 (Σ(v−cv)², values ≤ 254,
+    // order-independent long sum) now comes out of ONE codegen
+    // graft_qsqdist per (vector, centroid) pair over the pinned ARRAY
+    // frame with a broadcast k-row centroid-array table — no explode,
+    // no join-by-dim, no 64×k-wide aggregate. Only the integer-mean
+    // re-centering still explodes (it genuinely needs per-dim sums),
+    // and it reads the same pinned array frame.
+    graft.functions.QuantSqDist.register(s)
+    val qv = embeddings(s, d).select(col("vec_id"),
+        expr(
           """transform(embedding,
             |  x -> cast(greatest(least(floor(cast(x as double) * 127 + 0.5), 127), -127)
-            |    as bigint) + 127L)""".stripMargin)).as(Seq("dim", "v")))
+            |    as bigint) + 127L)""".stripMargin).as("v"))
       .localCheckpoint(true)
-    var cent = q.filter(col("vec_id") < KmK)
-      .select(col("vec_id").as("c"), col("dim"), col("v").as("cv"))
+    val q = qv.select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "vd")))
+    def toArr(perDim: DataFrame): DataFrame = perDim.groupBy("c")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, cv))), x -> x.cv)").as("cva"))
+    var cent = qv.filter(col("vec_id") < KmK)
+      .select(col("vec_id").as("c"), col("v").as("cva"))
+    var centRows = q.filter(col("vec_id") < KmK)
+      .select(col("vec_id").as("c"), col("dim"), col("vd").as("cv"))
     // arg-min assignment as min(struct(d2, c)) — a hash aggregation
     // with map-side combine (lexicographic struct min = lowest d2, tie
     // to lowest centroid, exactly row_number(ORDER BY d2, c) = 1 — the
@@ -118,20 +135,19 @@ object Extras36 {
       .groupBy("vec_id")
       .agg(min(struct(col("d2"), col("c"))).as("m"))
       .select(col("vec_id"), col("m.c").as("c"))
+    def distTo(c: DataFrame): DataFrame = qv
+      .crossJoin(broadcast(c))
+      .select(col("vec_id"), col("c"),
+        expr(s"${graft.functions.QuantSqDist.name}(v, cva)").as("d2"))
     for (_ <- 1 to KmIters) {
-      val dist = q.join(cent, "dim")
-        .groupBy("vec_id", "c")
-        .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("d2"))
-      val assign = argmin(dist)
-      cent = q.join(assign, "vec_id")
+      val assign = argmin(distTo(cent))
+      centRows = q.join(assign, "vec_id")
         .groupBy("c", "dim")
-        .agg(expr("sum(v) div count(1)").as("cv"))
+        .agg(expr("sum(vd) div count(1)").as("cv"))
         .localCheckpoint(true)
+      cent = toArr(centRows).localCheckpoint(true)
     }
-    val dist = q.join(cent, "dim")
-      .groupBy("vec_id", "c")
-      .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("d2"))
-    (argmin(dist), cent)
+    (argmin(distTo(cent)), centRows)
   }
 
   def embedKmeansFixed(s: SparkSession, d: String): DataFrame = {

@@ -360,6 +360,8 @@ object PlanInvariantSpec {
   // (crossJoin of a 1-row empty-grouping aggregate).
   val bnljWhitelist: Map[String, String] = Map(
     "dedup_embed_cosine" -> "broadcast side = <=64-row centroid dictionary (vec_id < 64, DedupExtras.scala)",
+    "embed_kmeans_fixed" -> "broadcast side = KmK=8-row centroid-array table (vec_id < 8, Extras36.kmeansFit r15 qsqdist rewrite)",
+    "embed_cluster_purity" -> "broadcast side = KmK=8-row centroid-array table (vec_id < 8, Extras36.kmeansFit r15 qsqdist rewrite)",
     "embed_pq_quantize" -> "broadcast side = 16-row PQ codebook (vec_id < 16, Extras27.scala:158)",
     "join_cross_product" -> "the graded cross-join row itself: 5x25 static dim x dim grid (Extras29.scala:20)",
     "join_range_theta" -> "B10 theta join: 4-row inline band table broadcast (Relational.scala:368)",
